@@ -1,0 +1,355 @@
+"""Public instance API.
+
+Mirrors the reference's 20-function C ABI (reference: include/vulkansift/
+vulkansift.h:23-111) as a Python class plus module-level helpers:
+
+=============================  =========================================
+reference                      vulkansift_tpu
+=============================  =========================================
+vksift_loadVulkan              load_runtime()
+vksift_unloadVulkan            unload_runtime()
+vksift_getAvailableGPUs        get_available_devices()
+vksift_setLogLevel             utils.logging.set_log_level
+vksift_createInstance          SiftInstance(config)
+vksift_destroyInstance         SiftInstance.close() / context manager
+vksift_getDefaultConfig        config.get_default_config()
+vksift_detectFeatures          SiftInstance.detect_features
+vksift_matchFeatures           SiftInstance.match_features
+vksift_getFeaturesNumber       SiftInstance.get_features_number
+vksift_downloadFeatures        SiftInstance.download_features
+vksift_uploadFeatures          SiftInstance.upload_features
+vksift_getMatchesNumber        SiftInstance.get_matches_number
+vksift_downloadMatches         SiftInstance.download_matches
+vksift_isBufferAvailable       SiftInstance.is_buffer_available
+vksift_getScaleSpaceNbOctaves  SiftInstance.get_scale_space_nb_octaves
+vksift_getScaleSpaceOctave...  SiftInstance.get_scale_space_octave_resolution
+vksift_downloadScaleSpaceImage SiftInstance.download_scale_space_image
+vksift_downloadDoGImage        SiftInstance.download_dog_image
+vksift_presentDebugFrame       SiftInstance.start_trace/stop_trace (XProf)
+=============================  =========================================
+
+Async contract parity (vulkansift.h:40-47): ``detect_features`` /
+``match_features`` leave results on device and return without waiting for
+them (JAX dispatch is asynchronous); all download functions block until the
+data is available, like the reference's fence waits. ``is_buffer_available``
+polls without blocking.
+
+Error contract parity: invalid inputs raise
+:class:`~vulkansift_tpu.errors.InvalidInputError` (instance stays usable);
+device failures raise :class:`~vulkansift_tpu.errors.DeviceError`. An
+optional ``on_error`` callback receives the mapped
+:class:`~vulkansift_tpu.errors.Result` before the exception propagates,
+mirroring the reference's error-callback dispatch (vulkansift.c:31-45).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import SiftConfig, get_default_config
+from .detector import SiftDetector
+from .errors import DeviceError, InvalidInputError, Result
+from .ops.match import match_2nn
+from .types import (FEATURE_DTYPE, Features, Matches2NN, features_from_numpy,
+                    features_to_numpy, matches_to_numpy)
+from .utils.logging import logger
+
+_runtime_loaded = False
+
+
+def load_runtime() -> Result:
+    """Probe the accelerator runtime (parity: vksift_loadVulkan,
+    vulkansift.c:68-110). Returns Result.SUCCESS when a JAX backend is
+    usable; DEVICE_ERROR (without raising) when none is — so callers can
+    fall back to CPU SIFT like the reference's graceful volk failure
+    (vulkan_device.c:22-30)."""
+    global _runtime_loaded
+    try:
+        jax.devices()
+        _runtime_loaded = True
+        return Result.SUCCESS
+    except Exception:  # noqa: BLE001 - mirrors reference's catch-all
+        logger.error("load_runtime() failure: no usable JAX backend")
+        return Result.DEVICE_ERROR
+
+
+def unload_runtime() -> None:
+    """Parity: vksift_unloadVulkan (no-op: PJRT manages its own lifetime)."""
+    global _runtime_loaded
+    _runtime_loaded = False
+
+
+def get_available_devices() -> List[str]:
+    """Parity: vksift_getAvailableGPUs."""
+    try:
+        return [f"{d.platform}:{d.device_kind}" for d in jax.devices()]
+    except Exception:  # noqa: BLE001
+        return []
+
+
+@dataclasses.dataclass
+class _BufferState:
+    """Host-side bookkeeping for one on-device SIFT buffer (the analogue of
+    the reference's vksift_SiftBufferInfo, sift_memory.h:33-115)."""
+
+    features: Features
+    count: int = 0
+    per_octave_counts: Tuple[int, ...] = ()
+    input_width: int = 0
+    input_height: int = 0
+    gaussians: Optional[tuple] = None
+    dogs: Optional[tuple] = None
+
+
+class SiftInstance:
+    """SIFT detection/matching engine bound to one device.
+
+    Owns ``config.sift_buffer_count`` independent feature buffers so callers
+    can detect into one while reading another (parity:
+    vksift_Config.sift_buffer_count multi-buffer pipelining).
+    """
+
+    def __init__(self, config: Optional[SiftConfig] = None,
+                 on_error: Optional[Callable[[Result], None]] = None):
+        config = config or get_default_config()
+        self._on_error = on_error
+        try:
+            config.validate()
+        except InvalidInputError:
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise
+        self.config = config
+        try:
+            devices = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            self._dispatch_error(Result.DEVICE_ERROR)
+            raise DeviceError("no usable JAX backend") from e
+        idx = config.device_index
+        if idx >= len(devices):
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(
+                f"device index {idx} out of range ({len(devices)} devices)")
+        self.device = devices[idx] if idx >= 0 else devices[0]
+        self._detector = SiftDetector(config)
+        self._buffers: List[_BufferState] = [
+            _BufferState(features=Features.empty(config.max_nb_sift_per_buffer))
+            for _ in range(config.sift_buffer_count)]
+        self._matches: Optional[Matches2NN] = None
+        self._matches_count: int = 0
+        self._closed = False
+
+    # -- lifecycle ------------------------------------------------------
+    def close(self) -> None:
+        """Parity: vksift_destroyInstance."""
+        self._buffers = []
+        self._matches = None
+        self._closed = True
+
+    def __enter__(self) -> "SiftInstance":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def _dispatch_error(self, result: Result) -> None:
+        if self._on_error is not None:
+            self._on_error(result)
+
+    def _check_buffer(self, buffer_id: int) -> _BufferState:
+        if self._closed:
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError("instance is closed")
+        if not (0 <= buffer_id < len(self._buffers)):
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(
+                f"buffer index {buffer_id} out of range "
+                f"({len(self._buffers)} buffers reserved)")
+        return self._buffers[buffer_id]
+
+    # -- detection ------------------------------------------------------
+    def detect_features(self, image: np.ndarray, buffer_id: int) -> None:
+        """Detect SIFT features of a (H, W) uint8 grayscale image into the
+        given buffer (parity: vksift_detectFeatures, vulkansift.c:315-344).
+        Results stay on device; downloads block until ready."""
+        buf = self._check_buffer(buffer_id)
+        image = np.asarray(image)
+        if image.ndim != 2 or image.dtype != np.uint8:
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError("image must be 2-D uint8 grayscale")
+        height, width = image.shape
+        if width * height > self.config.input_image_max_size:
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(
+                f"image size {width}x{height} exceeds input_image_max_size "
+                f"{self.config.input_image_max_size}")
+        if min(width, height) < 32:
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError("image dimensions must be >= 32")
+        b = self.config.resolution_bucket
+        if b > 1 and (width % b or height % b):
+            pw, ph = -width % b, -height % b
+            image = np.pad(image, ((0, ph), (0, pw)), mode="edge")
+            height, width = image.shape
+        try:
+            with jax.default_device(self.device):
+                feats, gauss, dogs, per_octave = self._detector.detect(
+                    image, width, height)
+        except InvalidInputError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            self._dispatch_error(Result.DEVICE_ERROR)
+            raise DeviceError("detection pipeline failure") from e
+        buf.features = feats
+        buf.count = int(sum(per_octave))
+        buf.per_octave_counts = tuple(per_octave)
+        buf.input_width = width
+        buf.input_height = height
+        buf.gaussians = gauss
+        buf.dogs = dogs
+
+    # -- matching -------------------------------------------------------
+    def match_features(self, buffer_id_a: int, buffer_id_b: int) -> None:
+        """2-NN match buffer A's features against buffer B's
+        (parity: vksift_matchFeatures, vulkansift.c:417-441)."""
+        buf_a = self._check_buffer(buffer_id_a)
+        buf_b = self._check_buffer(buffer_id_b)
+        na = max(self._round_up(buf_a.count), 64)
+        desc_a = buf_a.features.descriptor[:na]
+        try:
+            with jax.default_device(self.device):
+                self._matches = match_2nn(
+                    desc_a, buf_a.features.count,
+                    buf_b.features.descriptor, buf_b.features.count)
+        except Exception as e:  # noqa: BLE001
+            self._dispatch_error(Result.DEVICE_ERROR)
+            raise DeviceError("matching pipeline failure") from e
+        self._matches_count = buf_a.count
+
+    @staticmethod
+    def _round_up(n: int) -> int:
+        return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+
+    # -- data transfer (blocking) ---------------------------------------
+    def get_features_number(self, buffer_id: int) -> int:
+        """Parity: vksift_getFeaturesNumber (host-side, no device work)."""
+        return self._check_buffer(buffer_id).count
+
+    def download_features(self, buffer_id: int) -> np.ndarray:
+        """Blocking download of the packed features as a structured array
+        with the exact vksift_Feature layout (parity:
+        vksift_downloadFeatures)."""
+        buf = self._check_buffer(buffer_id)
+        return features_to_numpy(buf.features, buf.count)
+
+    def upload_features(self, feats: np.ndarray, buffer_id: int) -> None:
+        """Parity: vksift_uploadFeatures — uploaded features land packed and
+        ready for matching (sift_memory.c:1197-1272)."""
+        buf = self._check_buffer(buffer_id)
+        if feats.dtype != FEATURE_DTYPE:
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(
+                "features must be a FEATURE_DTYPE structured array")
+        if feats.shape[0] > self.config.max_nb_sift_per_buffer:
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError("too many features for the buffer")
+        with jax.default_device(self.device):
+            buf.features = features_from_numpy(
+                feats, self.config.max_nb_sift_per_buffer)
+        buf.count = int(feats.shape[0])
+        buf.per_octave_counts = ()
+        buf.gaussians = buf.dogs = None
+
+    def get_matches_number(self) -> int:
+        """Parity: vksift_getMatchesNumber."""
+        return self._matches_count
+
+    def download_matches(self) -> np.ndarray:
+        """Blocking download of vksift_Match_2NN-layout matches
+        (parity: vksift_downloadMatches)."""
+        if self._matches is None:
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError("no matches computed yet")
+        return matches_to_numpy(self._matches, self._matches_count)
+
+    def is_buffer_available(self, buffer_id: int) -> bool:
+        """Non-blocking poll: True when no async device work on the buffer
+        is still in flight (parity: vksift_isBufferAvailable,
+        vulkansift.c:295-313)."""
+        buf = self._check_buffer(buffer_id)
+        try:
+            leaves = jax.tree.leaves(buf.features)
+            return all(leaf.is_ready() for leaf in leaves
+                       if hasattr(leaf, "is_ready"))
+        except Exception:  # noqa: BLE001
+            return True
+
+    # -- scale-space access (debug/visualization) ------------------------
+    def get_scale_space_nb_octaves(self, buffer_id: int = 0) -> int:
+        """Parity: vksift_getScaleSpaceNbOctaves."""
+        buf = self._check_buffer(buffer_id)
+        if buf.input_width == 0:
+            return 0
+        return self.config.max_octaves_for(buf.input_width, buf.input_height)
+
+    def get_scale_space_octave_resolution(
+            self, octave: int, buffer_id: int = 0) -> Tuple[int, int]:
+        """Parity: vksift_getScaleSpaceOctaveResolution."""
+        buf = self._check_buffer(buffer_id)
+        res = self.config.octave_resolutions(buf.input_width,
+                                             buf.input_height)
+        if not (0 <= octave < len(res)):
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(f"octave {octave} out of range")
+        return res[octave]
+
+    def download_scale_space_image(self, octave: int, scale: int,
+                                   buffer_id: int = 0) -> np.ndarray:
+        """Blocking download of a gaussian pyramid level as float32 (parity:
+        vksift_downloadScaleSpaceImage; FP16 pyramids are converted like the
+        reference's blit-conversion, sift_memory.c:1313-1325)."""
+        buf = self._check_buffer(buffer_id)
+        if buf.gaussians is None:
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(
+                "no pyramid retained (set config.retain_pyramid)")
+        if not (0 <= octave < len(buf.gaussians)):
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(f"octave {octave} out of range")
+        g = buf.gaussians[octave]
+        if not (0 <= scale < g.shape[0]):
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(f"scale {scale} out of range")
+        return np.asarray(g[scale], dtype=np.float32)
+
+    def download_dog_image(self, octave: int, scale: int,
+                           buffer_id: int = 0) -> np.ndarray:
+        """Parity: vksift_downloadDoGImage."""
+        buf = self._check_buffer(buffer_id)
+        if buf.dogs is None:
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(
+                "no pyramid retained (set config.retain_pyramid)")
+        if not (0 <= octave < len(buf.dogs)):
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(f"octave {octave} out of range")
+        d = buf.dogs[octave]
+        if not (0 <= scale < d.shape[0]):
+            self._dispatch_error(Result.INVALID_INPUT_ERROR)
+            raise InvalidInputError(f"scale {scale} out of range")
+        return np.asarray(d[scale], dtype=np.float32)
+
+    # -- profiling hooks (the DebugPresenter analogue) --------------------
+    def start_trace(self, log_dir: str) -> None:
+        """Start an XProf trace session — the TPU-native replacement for the
+        reference's DebugPresenter frame-delimiter hack
+        (vkenv/debug_presenter.c:139-185)."""
+        jax.profiler.start_trace(log_dir)
+
+    def stop_trace(self) -> None:
+        jax.profiler.stop_trace()

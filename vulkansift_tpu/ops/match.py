@@ -1,0 +1,155 @@
+"""Brute-force 2-nearest-neighbor descriptor matching (MXU-tiled).
+
+Replaces the reference's Get2NearestNeighbors shader (reference:
+src/vulkansift/shaders/Get2NearestNeighbors.comp) — one thread per A-feature
+serially scanning ALL of B (an O(N_A * N_B * 128) scalar loop) — with the
+TPU-native formulation: the u8 descriptor L2 distances are
+
+    d2(a, b) = |a|^2 + |b|^2 - 2 a.b
+
+so each B-tile step is one (N_A x 128) @ (128 x T) matmul on the MXU plus a
+vectorized top-2 merge, streamed over B tiles with a ``lax.scan`` so the
+N_A x N_B distance matrix is never materialized.
+
+Exactness: descriptors are integers in [0, 255]; products <= 255^2 and
+row sums <= 128*255^2 = 8,323,200 < 2^24, so bfloat16 inputs (exact for
+integers < 256) with float32 accumulation reproduce the reference's integer
+distance arithmetic bit-exactly; the output is sqrt(d2) as float32, matching
+Get2NearestNeighbors.comp:43-53.
+
+Tie-breaking parity: the reference keeps the earliest B index on equal
+distances (strict ``<`` updates, Get2NearestNeighbors.comp:85-95); the tile
+argmin picks the first occurrence and merges preserve earlier tiles, so
+indices agree.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import Matches2NN
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _top2_of_tile(d2: jax.Array, col_offset: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-row (best, best_idx, second, second_idx) of a (N, T) tile."""
+    i1 = jnp.argmin(d2, axis=1)
+    d1 = jnp.take_along_axis(d2, i1[:, None], axis=1)[:, 0]
+    masked = d2.at[jnp.arange(d2.shape[0]), i1].set(_INF)
+    i2 = jnp.argmin(masked, axis=1)
+    d2nd = jnp.take_along_axis(masked, i2[:, None], axis=1)[:, 0]
+    return (d1, i1.astype(jnp.int32) + col_offset,
+            d2nd, i2.astype(jnp.int32) + col_offset)
+
+
+def _merge_top2(r, t):
+    """Merge running top-2 ``r`` with tile top-2 ``t`` (earlier wins ties)."""
+    rd1, ri1, rd2, ri2 = r
+    td1, ti1, td2, ti2 = t
+    # New best: strict < so the earlier (running) index wins ties.
+    take_t1 = td1 < rd1
+    nd1 = jnp.where(take_t1, td1, rd1)
+    ni1 = jnp.where(take_t1, ti1, ri1)
+    # New second best: the better of (loser of the best contest, the other
+    # stream's second). Candidates are {rd2, td2, loser}.
+    loser_d = jnp.where(take_t1, rd1, td1)
+    loser_i = jnp.where(take_t1, ri1, ti1)
+    other2_d = jnp.where(take_t1, td2, rd2)
+    other2_i = jnp.where(take_t1, ti2, ri2)
+    own2_d = jnp.where(take_t1, rd2, td2)
+    own2_i = jnp.where(take_t1, ri2, ti2)
+    # Second = min(loser, other2, own2). own2 can never actually win (its
+    # stream's best is >= loser) but comparing keeps the code branch-free.
+    # Tie-breaking mirrors the reference's earliest-index-wins serial scan:
+    # when the running stream (earlier columns) holds the tied value, it
+    # must be preferred, hence the take_t1-dependent <=/<.
+    c1_better = jnp.where(take_t1, loser_d <= other2_d, loser_d < other2_d)
+    cd = jnp.where(c1_better, loser_d, other2_d)
+    ci = jnp.where(c1_better, loser_i, other2_i)
+    take = jnp.where(take_t1, cd < own2_d, cd <= own2_d)
+    nd2 = jnp.where(take, cd, own2_d)
+    ni2 = jnp.where(take, ci, own2_i)
+    return nd1, ni1, nd2, ni2
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def match_2nn(desc_a: jax.Array, count_a: jax.Array, desc_b: jax.Array,
+              count_b: jax.Array, *, tile: int = 2048) -> Matches2NN:
+    """2-NN of every valid A descriptor among valid B descriptors.
+
+    Args:
+      desc_a: u8 (NA, 128), valid rows first (packed).
+      count_a: i32 number of valid A rows.
+      desc_b: u8 (NB, 128), packed likewise.
+      count_b: i32 number of valid B rows.
+      tile: static B-tile width for the scan.
+
+    Returns a Matches2NN with capacity NA and ``count = count_a``; rows at
+    index >= count_a are meaningless. Invalid B columns are masked to +inf
+    so they can never win (the reference assumes count_b >= 2,
+    sift_matcher.c:408-486; with fewer the extra slots stay at +inf).
+    """
+    na, d = desc_a.shape
+    nb = desc_b.shape[0]
+    pad_b = (-nb) % tile
+    if pad_b:
+        desc_b = jnp.concatenate(
+            [desc_b, jnp.zeros((pad_b, d), desc_b.dtype)], axis=0)
+    nb_padded = nb + pad_b
+    steps = nb_padded // tile
+
+    a16 = desc_a.astype(jnp.bfloat16)
+    b16 = desc_b.astype(jnp.bfloat16)
+    a_sq = jnp.sum(jnp.square(desc_a.astype(jnp.float32)), axis=1)  # (NA,)
+    b_sq = jnp.sum(jnp.square(desc_b.astype(jnp.float32)), axis=1)  # (NBp,)
+
+    b_tiles = b16.reshape(steps, tile, d)
+    bsq_tiles = b_sq.reshape(steps, tile)
+
+    def step(carry, inp):
+        b_t, bsq_t, offset = inp
+        dots = jax.lax.dot_general(
+            a16, b_t.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (NA, T)
+        d2 = a_sq[:, None] + bsq_t[None, :] - 2.0 * dots
+        col = offset + jnp.arange(tile)[None, :]
+        d2 = jnp.where(col < count_b, d2, _INF)
+        t = _top2_of_tile(d2, offset)
+        return _merge_top2(carry, t), None
+
+    init = (jnp.full((na,), _INF), jnp.zeros((na,), jnp.int32),
+            jnp.full((na,), _INF), jnp.zeros((na,), jnp.int32))
+    offsets = jnp.arange(steps, dtype=jnp.int32) * tile
+    (d1, i1, d2_, i2), _ = jax.lax.scan(
+        step, init, (b_tiles, bsq_tiles, offsets))
+
+    # Distances can be -0.0-ish from cancellation only if exact 0; the math
+    # above is exact integer arithmetic in f32, so clamping is just safety.
+    d1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+    d2_ = jnp.sqrt(jnp.maximum(d2_, 0.0))
+    return Matches2NN(
+        idx_a=jnp.arange(na, dtype=jnp.int32),
+        idx_b1=i1, idx_b2=i2,
+        dist_a_b1=d1, dist_a_b2=d2_,
+        count=count_a.astype(jnp.int32),
+    )
+
+
+def lowe_ratio_mask(m: Matches2NN, ratio: float = 0.75) -> jax.Array:
+    """Lowe ratio-test mask (harness parity: src/perf/perf_matching.cpp:5,
+    test_sift_match.cpp:90-107): keep matches with d1 < ratio * d2."""
+    valid = jnp.arange(m.idx_a.shape[0]) < m.count
+    return valid & (m.dist_a_b1 < ratio * m.dist_a_b2)
+
+
+def cross_check_mask(m_ab: Matches2NN, m_ba: Matches2NN) -> jax.Array:
+    """Mutual-nearest-neighbor mask: A->B best maps back B->A best."""
+    back = m_ba.idx_b1[m_ab.idx_b1]
+    valid = jnp.arange(m_ab.idx_a.shape[0]) < m_ab.count
+    return valid & (back == m_ab.idx_a)

@@ -1,0 +1,112 @@
+"""Instance API tests: lifecycle, error contract, buffer management,
+feature/match round-trips (reference: vulkansift.c, test_sift_error_handling
+.cpp semantics)."""
+
+import numpy as np
+import pytest
+
+import vulkansift_tpu as vs
+
+
+@pytest.fixture(scope="module")
+def instance():
+    cfg = vs.SiftConfig(use_input_upsampling=False,
+                        max_nb_sift_per_buffer=8192,
+                        sift_buffer_count=3,
+                        input_image_max_size=1920 * 1080)
+    with vs.SiftInstance(cfg) as inst:
+        yield inst
+
+
+def test_runtime_probe():
+    assert vs.load_runtime() == vs.Result.SUCCESS
+    assert len(vs.get_available_devices()) >= 1
+    vs.unload_runtime()
+
+
+def test_error_callback_and_invalid_inputs(instance, blob_image):
+    seen = []
+    inst = vs.SiftInstance(
+        vs.SiftConfig(use_input_upsampling=False, sift_buffer_count=1,
+                      max_nb_sift_per_buffer=1024),
+        on_error=lambda r: seen.append(r))
+    # Invalid buffer index (parity: test_sift_error_handling.cpp:49-69).
+    with pytest.raises(vs.InvalidInputError):
+        inst.detect_features(blob_image, 5)
+    assert seen[-1] == vs.Result.INVALID_INPUT_ERROR
+    # Bad dtype / shape.
+    with pytest.raises(vs.InvalidInputError):
+        inst.detect_features(blob_image.astype(np.float32), 0)
+    with pytest.raises(vs.InvalidInputError):
+        inst.detect_features(np.zeros((8, 8), np.uint8), 0)
+    # Over max size.
+    big = np.zeros((2000, 2000), np.uint8)
+    with pytest.raises(vs.InvalidInputError):
+        inst.detect_features(big, 0)
+    # Instance remains usable after INVALID_INPUT errors.
+    inst.detect_features(blob_image[:128, :128].copy(), 0)
+    assert inst.get_features_number(0) >= 0
+    inst.close()
+    with pytest.raises(vs.InvalidInputError):
+        inst.get_features_number(0)
+
+
+def test_invalid_config_rejected():
+    with pytest.raises(vs.InvalidConfigError):
+        vs.SiftInstance(vs.SiftConfig(sift_buffer_count=0))
+
+
+def test_detect_download_roundtrip(instance, blob_image):
+    instance.detect_features(blob_image, 0)
+    n = instance.get_features_number(0)
+    assert n > 10
+    feats = instance.download_features(0)
+    assert feats.dtype == vs.FEATURE_DTYPE
+    assert feats.shape == (n,)
+    # Upload into another buffer and match: identical sets self-match.
+    instance.upload_features(feats, 1)
+    assert instance.get_features_number(1) == n
+    instance.match_features(0, 1)
+    assert instance.get_matches_number() == n
+    m = instance.download_matches()
+    assert m.dtype == vs.MATCH_DTYPE
+    np.testing.assert_array_equal(m["idx_b1"], m["idx_a"])
+    np.testing.assert_allclose(m["dist_a_b1"], 0.0)
+    assert (m["dist_a_b2"] >= m["dist_a_b1"]).all()
+
+
+def test_multi_buffer_independence(instance, blob_image):
+    img2 = blob_image[::-1].copy()
+    instance.detect_features(blob_image, 0)
+    n0 = instance.get_features_number(0)
+    instance.detect_features(img2, 2)
+    assert instance.get_features_number(0) == n0  # buffer 0 untouched
+    # is_buffer_available is a non-blocking poll; a blocking download acts
+    # as the fence wait after which it must report available.
+    instance.download_features(0)
+    assert instance.is_buffer_available(0)
+
+
+def test_scale_space_access(instance, blob_image):
+    instance.detect_features(blob_image, 0)
+    nb_oct = instance.get_scale_space_nb_octaves(0)
+    assert nb_oct >= 3
+    h, w = blob_image.shape
+    res0 = instance.get_scale_space_octave_resolution(0, 0)
+    assert res0 == (w, h)  # no upsampling in this config
+    img = instance.download_scale_space_image(0, 0, 0)
+    assert img.shape == (h, w) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    dog = instance.download_dog_image(0, 0, 0)
+    assert dog.shape == (h, w)
+    with pytest.raises(vs.InvalidInputError):
+        instance.download_scale_space_image(nb_oct + 1, 0, 0)
+    with pytest.raises(vs.InvalidInputError):
+        instance.download_dog_image(0, 99, 0)
+
+
+def test_feature_numpy_layout_bit_compat():
+    # vksift_Feature: 9 x 4-byte header fields + 128 descriptor bytes = 164
+    # (reference: include/vulkansift/vulkansift_types.h:17-31).
+    assert vs.FEATURE_DTYPE.itemsize == 164
+    assert vs.MATCH_DTYPE.itemsize == 20  # 3 u32 + 2 f32

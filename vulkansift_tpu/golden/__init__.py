@@ -1,1 +1,3 @@
-"""Slow NumPy golden-model SIFT used as the test oracle (SURVEY.md §4)."""
+"""Pure-NumPy golden SIFT oracle for testing (see reference.py)."""
+
+from . import reference  # noqa: F401

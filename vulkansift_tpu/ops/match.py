@@ -48,33 +48,38 @@ def _top2_of_tile(d2: jax.Array, col_offset: jax.Array
             d2nd, i2.astype(jnp.int32) + col_offset)
 
 
+def _lex_lt(da, ia, db, ib):
+    """(distance, index) lexicographic less-than."""
+    return (da < db) | ((da == db) & (ia < ib))
+
+
 def _merge_top2(r, t):
-    """Merge running top-2 ``r`` with tile top-2 ``t`` (earlier wins ties)."""
+    """Merge two per-row top-2 streams with (distance, index) lexicographic
+    ordering. Smallest-index-wins tie-breaking matches the reference's
+    earliest-index serial scan (strict ``<`` updates,
+    Get2NearestNeighbors.comp:85-95) and — unlike order-dependent
+    tie-breaking — is associative/commutative, so the same merge serves the
+    sequential tile scan and the multi-chip ``ppermute`` ring
+    (:mod:`vulkansift_tpu.parallel.ring_match`), where B shards arrive out
+    of global column order.
+
+    Within each stream (d1, i1) <= (d2, i2) lexicographically (tile top-2
+    picks the earliest index first), so this is a merge of two sorted pairs:
+    best = min(r1, t1); second = min(loser-of-best-contest, winner's own
+    second) — the loser stream's second can never place.
+    """
     rd1, ri1, rd2, ri2 = r
     td1, ti1, td2, ti2 = t
-    # New best: strict < so the earlier (running) index wins ties.
-    take_t1 = td1 < rd1
+    take_t1 = _lex_lt(td1, ti1, rd1, ri1)
     nd1 = jnp.where(take_t1, td1, rd1)
     ni1 = jnp.where(take_t1, ti1, ri1)
-    # New second best: the better of (loser of the best contest, the other
-    # stream's second). Candidates are {rd2, td2, loser}.
     loser_d = jnp.where(take_t1, rd1, td1)
     loser_i = jnp.where(take_t1, ri1, ti1)
-    other2_d = jnp.where(take_t1, td2, rd2)
-    other2_i = jnp.where(take_t1, ti2, ri2)
-    own2_d = jnp.where(take_t1, rd2, td2)
-    own2_i = jnp.where(take_t1, ri2, ti2)
-    # Second = min(loser, other2, own2). own2 can never actually win (its
-    # stream's best is >= loser) but comparing keeps the code branch-free.
-    # Tie-breaking mirrors the reference's earliest-index-wins serial scan:
-    # when the running stream (earlier columns) holds the tied value, it
-    # must be preferred, hence the take_t1-dependent <=/<.
-    c1_better = jnp.where(take_t1, loser_d <= other2_d, loser_d < other2_d)
-    cd = jnp.where(c1_better, loser_d, other2_d)
-    ci = jnp.where(c1_better, loser_i, other2_i)
-    take = jnp.where(take_t1, cd < own2_d, cd <= own2_d)
-    nd2 = jnp.where(take, cd, own2_d)
-    ni2 = jnp.where(take, ci, own2_i)
+    win2_d = jnp.where(take_t1, td2, rd2)
+    win2_i = jnp.where(take_t1, ti2, ri2)
+    take_loser = _lex_lt(loser_d, loser_i, win2_d, win2_i)
+    nd2 = jnp.where(take_loser, loser_d, win2_d)
+    ni2 = jnp.where(take_loser, loser_i, win2_i)
     return nd1, ni1, nd2, ni2
 
 

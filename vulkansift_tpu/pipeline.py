@@ -1,0 +1,172 @@
+"""Monolithic fully-jitted detection pipeline (the TPU-first hot path).
+
+The staged :class:`~vulkansift_tpu.detector.SiftDetector` mirrors the
+reference's host-visible structure (counts readable between stages, like the
+reference's mapped count staging, sift_memory.c:1060-1106) at the cost of two
+host round-trips per image. This module is the *performance* path: ONE XLA
+program per (resolution, config) that takes a uint8 image and returns a
+packed fixed-capacity :class:`~vulkansift_tpu.types.Features` buffer — zero
+host synchronization, so images can be pipelined back-to-back and batched
+(the analogue of the reference's recorded-once command buffer replayed per
+dispatch, sift_detector.c:1313-1410).
+
+Dynamic keypoint counts are handled with the fixed-capacity mask/compact
+design (SURVEY.md §7 "hard parts"): every data-dependent size runs at its
+static per-octave section capacity (geometric halves, sift_memory.c:40-87)
+and invalid lanes are masked. Features beyond capacity are dropped and
+counted (``lost`` output), matching the reference's clamping + "features
+lost" accounting (sift_memory.c:1088-1102).
+
+Batch/data parallelism: :func:`make_detect_fn` returns a pure function, so
+``jax.vmap`` gives batched multi-image detect and ``shard_map`` over a mesh
+axis gives multi-chip data parallelism (see :mod:`vulkansift_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import DescriptorFormat, SiftConfig
+from .ops import extract, patches as patches_mod, scale_space
+from .ops.descriptor import compute_descriptors
+from .ops.orientation import compute_orientations
+from .ops.patches import PatchSet, gather_patches
+from .types import Features
+
+
+class DetectOutput(NamedTuple):
+    features: Features
+    lost: jax.Array              # i32[] features dropped at capacity clamps
+    per_octave_counts: jax.Array  # i32[nb_octaves]
+
+
+def make_detect_fn(config: SiftConfig, width: int, height: int,
+                   *, return_pyramid: bool = False):
+    """Build the single-program detect function for one static resolution.
+
+    Args:
+      config: static configuration. ``max_nb_sift_per_buffer`` bounds the
+        output capacity AND the per-octave compute (use a realistic bound —
+        compute scales with capacity, unlike the staged path's buckets).
+      width/height: static input resolution.
+      return_pyramid: also return (gaussians, dogs) for the debug APIs.
+
+    Returns:
+      ``detect(image_u8) -> DetectOutput`` (or ``(DetectOutput, gaussians,
+      dogs)``), a pure jit-compatible function.
+    """
+    cfg = config
+    s = cfg.nb_scales_per_octave
+    oct_res = cfg.octave_resolutions(width, height)
+    nb_oct = len(oct_res)
+    caps = cfg.octave_section_capacities(nb_oct)
+    oct_shapes = tuple((h, w) for (w, h) in oct_res)
+    patch_edge = patches_mod.patch_size(cfg)
+    ori_radius = patches_mod.max_orientation_radius(cfg)
+    desc_radius = patches_mod.max_descriptor_radius(cfg)
+    ori_cap = cfg.orientation_capacity
+    use_vlfeat = cfg.descriptor_format == DescriptorFormat.VLFEAT
+    capacity = cfg.max_nb_sift_per_buffer
+
+    def detect(image_u8: jax.Array):
+        img = image_u8.astype(jnp.float32) * (1.0 / 255.0)
+        gaussians, dogs = scale_space.build_pyramid(img, cfg, oct_shapes)
+
+        per_oct = []
+        lost = jnp.zeros((), jnp.int32)
+        counts = []
+        for o, (ow, oh) in enumerate(oct_res):
+            cap_o = caps[o]
+            octave_idx = o - (1 if cfg.use_input_upsampling else 0)
+            cand = extract.extremum_candidates(
+                dogs[o], cfg.dog_threshold, cap_o)
+            refined = extract.refine_candidates(
+                dogs[o], cand, nb_scales=s, width=ow, height=oh,
+                dog_threshold=cfg.dog_threshold,
+                edge_threshold=cfg.edge_threshold,
+                seed_sigma=cfg.seed_scale_sigma, octave_idx=octave_idx)
+
+            cx = jnp.clip(jnp.round(refined.scale_x), 0, ow).astype(jnp.int32)
+            cy = jnp.clip(jnp.round(refined.scale_y), 0, oh).astype(jnp.int32)
+            sigma_oct = cfg.seed_scale_sigma * jnp.exp2(refined.subpix_s / s)
+            patches = gather_patches(gaussians[o], refined.scale_idx, cx, cy,
+                                     patch_edge=patch_edge)
+            ps = PatchSet(
+                patches=patches, cx=cx, cy=cy,
+                scale_x=refined.scale_x, scale_y=refined.scale_y,
+                sigma_oct=sigma_oct,
+                width=jnp.full((cap_o,), ow, jnp.int32),
+                height=jnp.full((cap_o,), oh, jnp.int32))
+            ori = compute_orientations(ps, ori_radius=ori_radius,
+                                       capacity=ori_cap)
+
+            # Compact valid (keypoint, orientation) pairs to the octave's
+            # section capacity (parity: per-octave section clamping).
+            pair_valid = (ori.valid & refined.valid[:, None]).reshape(-1)
+            pair_total = jnp.sum(pair_valid, dtype=jnp.int32)
+            pair_count = jnp.minimum(pair_total, cap_o)
+            lost = lost + (pair_total - pair_count)
+            (pidx,) = jnp.nonzero(pair_valid, size=cap_o, fill_value=0)
+            parent = (pidx // ori_cap).astype(jnp.int32)
+            angle = ori.angles.reshape(-1)[pidx]
+
+            ps_pairs = PatchSet(*[a[parent] for a in ps])
+            desc = compute_descriptors(ps_pairs, angle,
+                                       desc_radius=desc_radius,
+                                       use_vlfeat=use_vlfeat)
+            in_count = jnp.arange(cap_o) < pair_count
+            per_oct.append(dict(
+                x=refined.x[parent], y=refined.y[parent],
+                scale_x=refined.scale_x[parent],
+                scale_y=refined.scale_y[parent],
+                scale_idx=refined.scale_idx[parent],
+                octave_idx=jnp.full((cap_o,), octave_idx, jnp.int32),
+                sigma=refined.sigma[parent],
+                orientation=angle,
+                intensity=refined.intensity[parent],
+                descriptor=desc,
+                valid=in_count,
+            ))
+            counts.append(pair_count)
+
+        # Pack all octaves into one fixed-capacity buffer.
+        valid = jnp.concatenate([d["valid"] for d in per_oct])
+        total = jnp.sum(valid, dtype=jnp.int32)
+        count = jnp.minimum(total, capacity)
+        lost = lost + (total - count)
+        (keep,) = jnp.nonzero(valid, size=capacity, fill_value=0)
+        in_range = jnp.arange(capacity) < count
+
+        def pack(name):
+            cat = jnp.concatenate([d[name] for d in per_oct], axis=0)
+            out = cat[keep]
+            mask = in_range if out.ndim == 1 else in_range[:, None]
+            return jnp.where(mask, out, jnp.zeros_like(out))
+
+        feats = Features(
+            x=pack("x"), y=pack("y"),
+            scale_x=pack("scale_x"), scale_y=pack("scale_y"),
+            scale_idx=pack("scale_idx"), octave_idx=pack("octave_idx"),
+            sigma=pack("sigma"), orientation=pack("orientation"),
+            intensity=pack("intensity"), descriptor=pack("descriptor"),
+            count=count,
+        )
+        out = DetectOutput(features=feats, lost=lost,
+                           per_octave_counts=jnp.stack(counts))
+        if return_pyramid:
+            return out, gaussians, dogs
+        return out
+
+    return detect
+
+
+def make_detect_batched(config: SiftConfig, width: int, height: int):
+    """Batched multi-image detect: (B, H, W) u8 -> DetectOutput with leading
+    batch dims (BASELINE config #4). Pure vmap of the monolithic program —
+    XLA fuses the batch dimension into the kernels."""
+    detect = make_detect_fn(config, width, height)
+    return jax.vmap(detect)

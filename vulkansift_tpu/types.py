@@ -114,7 +114,9 @@ def features_to_numpy(feats: Features, count: int | None = None) -> np.ndarray:
     """Pack valid features into a vksift_Feature-layout structured array."""
     n = int(feats.count) if count is None else int(count)
     out = np.zeros((n,), FEATURE_DTYPE)
-    host = jax.device_get(feats)
+    # Blocking download (parity with the reference's fence wait): also flips
+    # is_ready() on every leaf so is_buffer_available() polls True after.
+    host = jax.device_get(jax.block_until_ready(feats))
     for name in ("x", "y", "scale_x", "scale_y", "scale_idx", "octave_idx",
                  "sigma", "orientation", "intensity", "descriptor"):
         out[name] = np.asarray(getattr(host, name))[:n]
@@ -155,7 +157,7 @@ def matches_to_numpy(m: Matches2NN, count: int | None = None) -> np.ndarray:
     """Pack valid matches into a vksift_Match_2NN-layout structured array."""
     n = int(m.count) if count is None else int(count)
     out = np.zeros((n,), MATCH_DTYPE)
-    host = jax.device_get(m)
+    host = jax.device_get(jax.block_until_ready(m))
     out["idx_a"] = np.asarray(host.idx_a)[:n].astype(np.uint32)
     out["idx_b1"] = np.asarray(host.idx_b1)[:n].astype(np.uint32)
     out["idx_b2"] = np.asarray(host.idx_b2)[:n].astype(np.uint32)

@@ -109,9 +109,25 @@ def upsample2x_linear(img: jax.Array) -> jax.Array:
 def downsample2x_nearest(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """2x nearest downsample matching vkCmdBlitImage(VK_FILTER_NEAREST):
     with half-pixel centers dst texel x samples src texel 2x+1
-    (sift_detector.c:1003-1024)."""
-    sub = img[..., 1::2, 1::2]
-    return sub[..., :out_h, :out_w]
+    (sift_detector.c:1003-1024).
+
+    TPU note: a stride-2 slice along the minor (lane) axis is a very
+    expensive relayout (~17 ms at 3072x2048); selecting the odd columns
+    with a one-hot matmul instead rides the MXU (~6x faster). The bf16x3
+    matmul decomposition reproduces f32 values to <=1 ulp, far below the
+    pyramid test tolerances; rows use a plain (cheap) sublane stride.
+    """
+    rows = img[..., 1::2, :][..., :out_h, :]
+    w = img.shape[-1]
+    if jax.default_backend() == "tpu" and w >= 256:
+        sel = jnp.zeros((w, out_w), img.dtype).at[
+            jnp.arange(1, 2 * out_w, 2), jnp.arange(out_w)].set(1)
+        return jax.lax.dot_general(
+            rows.astype(jnp.float32), sel.astype(jnp.float32),
+            (((rows.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).astype(img.dtype)
+    return rows[..., 1::2][..., :out_w]
 
 
 class ScaleSpace(Tuple):

@@ -17,6 +17,18 @@ and invalid lanes are masked. Features beyond capacity are dropped and
 counted (``lost`` output), matching the reference's clamping + "features
 lost" accounting (sift_memory.c:1088-1102).
 
+Two back-half (orientation+descriptor) implementations:
+
+* ``backhalf="xla"`` — pure-XLA patch gather + masked reductions +
+  hat-product einsum (:mod:`.ops.orientation`, :mod:`.ops.descriptor`).
+  Runs anywhere; compute scales with per-octave *capacity*.
+* ``backhalf="pallas"`` — fused TPU kernel
+  (:mod:`.ops.pallas_backhalf`): one window DMA per keypoint, grid steps
+  self-skip beyond the live count, so compute scales with the *actual*
+  keypoint count like the reference's indirect dispatch. Octaves too small
+  for the kernel windows fall back to the XLA path.
+* ``backhalf="auto"`` (default) — pallas on TPU backends, xla elsewhere.
+
 Batch/data parallelism: :func:`make_detect_fn` returns a pure function, so
 ``jax.vmap`` gives batched multi-image detect and ``shard_map`` over a mesh
 axis gives multi-chip data parallelism (see :mod:`vulkansift_tpu.parallel`).
@@ -32,6 +44,7 @@ import jax.numpy as jnp
 
 from .config import DescriptorFormat, SiftConfig
 from .ops import extract, patches as patches_mod, scale_space
+from .ops import pallas_backhalf
 from .ops.descriptor import compute_descriptors
 from .ops.orientation import compute_orientations
 from .ops.patches import PatchSet, gather_patches
@@ -44,16 +57,63 @@ class DetectOutput(NamedTuple):
     per_octave_counts: jax.Array  # i32[nb_octaves]
 
 
+def _backhalf_xla(gaussians_o, refined, *, cfg: SiftConfig, ow: int, oh: int,
+                  cap_o: int, octave_idx: int, patch_edge: int,
+                  ori_radius: int, desc_radius: int):
+    """Pure-XLA orientation+descriptor for one octave (runs anywhere)."""
+    s = cfg.nb_scales_per_octave
+    ori_cap = cfg.orientation_capacity
+    use_vlfeat = cfg.descriptor_format == DescriptorFormat.VLFEAT
+
+    cx = jnp.clip(jnp.round(refined.scale_x), 0, ow).astype(jnp.int32)
+    cy = jnp.clip(jnp.round(refined.scale_y), 0, oh).astype(jnp.int32)
+    sigma_oct = cfg.seed_scale_sigma * jnp.exp2(refined.subpix_s / s)
+    patches = gather_patches(gaussians_o, refined.scale_idx, cx, cy,
+                             patch_edge=patch_edge)
+    ps = PatchSet(
+        patches=patches, cx=cx, cy=cy,
+        scale_x=refined.scale_x, scale_y=refined.scale_y,
+        sigma_oct=sigma_oct,
+        width=jnp.full((cap_o,), ow, jnp.int32),
+        height=jnp.full((cap_o,), oh, jnp.int32))
+    ori = compute_orientations(ps, ori_radius=ori_radius, capacity=ori_cap)
+
+    pair_valid = (ori.valid & refined.valid[:, None]).reshape(-1)
+    pair_total = jnp.sum(pair_valid, dtype=jnp.int32)
+    pair_count = jnp.minimum(pair_total, cap_o)
+    pidx, _ = extract.rank_select(pair_valid, cap_o)
+    parent = (pidx // ori_cap).astype(jnp.int32)
+    angle = ori.angles.reshape(-1)[pidx]
+
+    ps_pairs = PatchSet(*[a[parent] for a in ps])
+    desc = compute_descriptors(ps_pairs, angle, desc_radius=desc_radius,
+                               use_vlfeat=use_vlfeat)
+    in_count = jnp.arange(cap_o) < pair_count
+    return dict(
+        x=refined.x[parent], y=refined.y[parent],
+        scale_x=refined.scale_x[parent],
+        scale_y=refined.scale_y[parent],
+        scale_idx=refined.scale_idx[parent],
+        octave_idx=jnp.full((cap_o,), octave_idx, jnp.int32),
+        sigma=refined.sigma[parent],
+        orientation=angle,
+        intensity=refined.intensity[parent],
+        descriptor=desc,
+        valid=in_count,
+    ), pair_count, pair_total
+
+
 def make_detect_fn(config: SiftConfig, width: int, height: int,
-                   *, return_pyramid: bool = False):
+                   *, return_pyramid: bool = False,
+                   backhalf: str = "auto"):
     """Build the single-program detect function for one static resolution.
 
     Args:
       config: static configuration. ``max_nb_sift_per_buffer`` bounds the
-        output capacity AND the per-octave compute (use a realistic bound —
-        compute scales with capacity, unlike the staged path's buckets).
+        output capacity AND (on the XLA back-half) the per-octave compute.
       width/height: static input resolution.
       return_pyramid: also return (gaussians, dogs) for the debug APIs.
+      backhalf: "xla" | "pallas" | "auto" (see module docstring).
 
     Returns:
       ``detect(image_u8) -> DetectOutput`` (or ``(DetectOutput, gaussians,
@@ -68,77 +128,60 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
     patch_edge = patches_mod.patch_size(cfg)
     ori_radius = patches_mod.max_orientation_radius(cfg)
     desc_radius = patches_mod.max_descriptor_radius(cfg)
-    ori_cap = cfg.orientation_capacity
-    use_vlfeat = cfg.descriptor_format == DescriptorFormat.VLFEAT
     capacity = cfg.max_nb_sift_per_buffer
+
+    if backhalf == "auto":
+        backhalf = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def detect(image_u8: jax.Array):
         img = image_u8.astype(jnp.float32) * (1.0 / 255.0)
         gaussians, dogs = scale_space.build_pyramid(img, cfg, oct_shapes)
 
+        refined_list = []
+        for o, (ow, oh) in enumerate(oct_res):
+            cap_o = caps[o]
+            octave_idx = o - (1 if cfg.use_input_upsampling else 0)
+            cand = extract.extremum_candidates(
+                dogs[o], cfg.dog_threshold, cap_o)
+            refined_list.append(extract.refine_candidates(
+                dogs[o], cand, nb_scales=s, width=ow, height=oh,
+                dog_threshold=cfg.dog_threshold,
+                edge_threshold=cfg.edge_threshold,
+                seed_sigma=cfg.seed_scale_sigma, octave_idx=octave_idx))
+
+        if backhalf == "pallas":
+            # Whole-pyramid fused back half (2 pallas_calls total).
+            fields, count, per_octave, lost = pallas_backhalf.run_atlas(
+                gaussians, refined_list, extract.rank_select,
+                config=cfg, oct_res=oct_res, caps=caps, capacity=capacity)
+            feats = Features(count=count, **fields)
+            out = DetectOutput(features=feats, lost=lost,
+                               per_octave_counts=per_octave)
+            if return_pyramid:
+                return out, gaussians, dogs
+            return out
+
+        # Pure-XLA back half: per octave, then pack.
         per_oct = []
         lost = jnp.zeros((), jnp.int32)
         counts = []
         for o, (ow, oh) in enumerate(oct_res):
             cap_o = caps[o]
             octave_idx = o - (1 if cfg.use_input_upsampling else 0)
-            cand = extract.extremum_candidates(
-                dogs[o], cfg.dog_threshold, cap_o)
-            refined = extract.refine_candidates(
-                dogs[o], cand, nb_scales=s, width=ow, height=oh,
-                dog_threshold=cfg.dog_threshold,
-                edge_threshold=cfg.edge_threshold,
-                seed_sigma=cfg.seed_scale_sigma, octave_idx=octave_idx)
-
-            cx = jnp.clip(jnp.round(refined.scale_x), 0, ow).astype(jnp.int32)
-            cy = jnp.clip(jnp.round(refined.scale_y), 0, oh).astype(jnp.int32)
-            sigma_oct = cfg.seed_scale_sigma * jnp.exp2(refined.subpix_s / s)
-            patches = gather_patches(gaussians[o], refined.scale_idx, cx, cy,
-                                     patch_edge=patch_edge)
-            ps = PatchSet(
-                patches=patches, cx=cx, cy=cy,
-                scale_x=refined.scale_x, scale_y=refined.scale_y,
-                sigma_oct=sigma_oct,
-                width=jnp.full((cap_o,), ow, jnp.int32),
-                height=jnp.full((cap_o,), oh, jnp.int32))
-            ori = compute_orientations(ps, ori_radius=ori_radius,
-                                       capacity=ori_cap)
-
-            # Compact valid (keypoint, orientation) pairs to the octave's
-            # section capacity (parity: per-octave section clamping).
-            pair_valid = (ori.valid & refined.valid[:, None]).reshape(-1)
-            pair_total = jnp.sum(pair_valid, dtype=jnp.int32)
-            pair_count = jnp.minimum(pair_total, cap_o)
+            fields, pair_count, pair_total = _backhalf_xla(
+                gaussians[o], refined_list[o], cfg=cfg, ow=ow, oh=oh,
+                cap_o=cap_o, octave_idx=octave_idx,
+                patch_edge=patch_edge, ori_radius=ori_radius,
+                desc_radius=desc_radius)
             lost = lost + (pair_total - pair_count)
-            (pidx,) = jnp.nonzero(pair_valid, size=cap_o, fill_value=0)
-            parent = (pidx // ori_cap).astype(jnp.int32)
-            angle = ori.angles.reshape(-1)[pidx]
-
-            ps_pairs = PatchSet(*[a[parent] for a in ps])
-            desc = compute_descriptors(ps_pairs, angle,
-                                       desc_radius=desc_radius,
-                                       use_vlfeat=use_vlfeat)
-            in_count = jnp.arange(cap_o) < pair_count
-            per_oct.append(dict(
-                x=refined.x[parent], y=refined.y[parent],
-                scale_x=refined.scale_x[parent],
-                scale_y=refined.scale_y[parent],
-                scale_idx=refined.scale_idx[parent],
-                octave_idx=jnp.full((cap_o,), octave_idx, jnp.int32),
-                sigma=refined.sigma[parent],
-                orientation=angle,
-                intensity=refined.intensity[parent],
-                descriptor=desc,
-                valid=in_count,
-            ))
+            per_oct.append(fields)
             counts.append(pair_count)
 
-        # Pack all octaves into one fixed-capacity buffer.
         valid = jnp.concatenate([d["valid"] for d in per_oct])
         total = jnp.sum(valid, dtype=jnp.int32)
         count = jnp.minimum(total, capacity)
         lost = lost + (total - count)
-        (keep,) = jnp.nonzero(valid, size=capacity, fill_value=0)
+        keep, _ = extract.rank_select(valid, capacity)
         in_range = jnp.arange(capacity) < count
 
         def pack(name):
@@ -164,9 +207,10 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
     return detect
 
 
-def make_detect_batched(config: SiftConfig, width: int, height: int):
+def make_detect_batched(config: SiftConfig, width: int, height: int,
+                        backhalf: str = "auto"):
     """Batched multi-image detect: (B, H, W) u8 -> DetectOutput with leading
     batch dims (BASELINE config #4). Pure vmap of the monolithic program —
     XLA fuses the batch dimension into the kernels."""
-    detect = make_detect_fn(config, width, height)
+    detect = make_detect_fn(config, width, height, backhalf=backhalf)
     return jax.vmap(detect)

@@ -49,7 +49,7 @@ from ..config import (LAMBDA_DESCRIPTOR, LAMBDA_ORIENTATION, NB_HIST, NB_ORI,
                       NB_ORI_HIST_BINS, ORI_PEAK_RATIO, SiftConfig)
 
 _TWO_PI = 2.0 * math.pi
-_N_COPIES = 4          # lane-shift copies (32-lane granularity)
+_N_COPIES = 2          # lane-shift copies (64-lane granularity)
 _N_BUF = 8             # DMA multi-buffering slots
 _PREFETCH = 7          # DMA prefetch distance (< _N_BUF)
 
@@ -130,13 +130,14 @@ class _KernelGeom(NamedTuple):
 # The kernel
 # ---------------------------------------------------------------------------
 
-# Packed DMA-address word: cidx (2b) | layer (3b) | ys/8 (11b) | ax/128 (6b)
+# Packed DMA-address word: cidx (2b) | layer (3b) | ys/8 (11b) | ax/128 (rest)
 _ADDR_LAYER_SHIFT = 2
 _ADDR_YS_SHIFT = 5
 _ADDR_AX_SHIFT = 16
 
 
 def pack_addr(cidx, layer, ys, ax):
+    # cidx is the 64-lane shift-copy index (0 or 1).
     return (cidx + (layer << _ADDR_LAYER_SHIFT) + ((ys // 8) << _ADDR_YS_SHIFT)
             + ((ax // 128) << _ADDR_AX_SHIFT)).astype(jnp.int32)
 
@@ -198,7 +199,7 @@ def _make_kernel(geom: _KernelGeom, *, ori_cap: int, use_vlfeat: bool,
 
         a = addr_ref[step]
         ys0 = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
-        ss0 = (a >> _ADDR_AX_SHIFT) * 128 + jax.lax.rem(a, 4) * 32
+        ss0 = (a >> _ADDR_AX_SHIFT) * 128 + jax.lax.rem(a, 4) * 64
 
         win = wscr[slot]
         gx = 0.5 * (pltpu.roll(win, wc - 1, 1) - pltpu.roll(win, 1, 1))
@@ -285,9 +286,17 @@ def _make_kernel(geom: _KernelGeom, *, ori_cap: int, use_vlfeat: bool,
                 ty = oy + half_cells - 0.5
                 tx = ox + half_cells - 0.5
 
+                def flat(x):
+                    # (wr, wc) -> (1, wr*wc); Mosaic only flattens single
+                    # lane-tile rows, so concat per-128-lane tiles.
+                    if wc == 128:
+                        return x.reshape(1, n)
+                    return jnp.concatenate(
+                        [x[:, t * 128:(t + 1) * 128].reshape(1, wr * 128)
+                         for t in range(wc // 128)], axis=1)
+
                 u_rows = [
-                    (jnp.maximum(0.0, 1.0 - jnp.abs(ty - c)) * wm
-                     ).reshape(1, n)
+                    flat(jnp.maximum(0.0, 1.0 - jnp.abs(ty - c)) * wm)
                     for c in range(NB_HIST)]
                 u = jnp.concatenate(u_rows, axis=0)          # (4, N)
                 wx = [jnp.maximum(0.0, 1.0 - jnp.abs(tx - c))
@@ -297,7 +306,7 @@ def _make_kernel(geom: _KernelGeom, *, ori_cap: int, use_vlfeat: bool,
                     od = jnp.abs(fb - o)
                     wo.append(jnp.maximum(
                         0.0, 1.0 - jnp.minimum(od, NB_ORI - od)))
-                v_rows = [(wx[c] * wo[o]).reshape(1, n)
+                v_rows = [flat(wx[c] * wo[o])
                           for c in range(NB_HIST)
                           for o in range(NB_ORI)]
                 vmat = jnp.concatenate(v_rows, axis=0)       # (32, N)
@@ -380,8 +389,8 @@ def orientation_descriptor_tpu(
 
 
 def make_shifted_copies(atlas: jax.Array) -> jax.Array:
-    """(L, H, W) f32 atlas -> (4, L, H, W) lane-shifted copies."""
-    return jnp.stack([jnp.roll(atlas, -32 * c, axis=-1)
+    """(L, H, W) f32 atlas -> (2, L, H, W) 64-lane-shifted copies."""
+    return jnp.stack([jnp.roll(atlas, -64 * c, axis=-1)
                       for c in range(_N_COPIES)], axis=0)
 
 
@@ -490,15 +499,19 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     for b in range(2):
         wr = wrs[b]
         r1 = (edges[b] - 1) // 2
-        geom = _KernelGeom(wr=wr, wc=128, h8=h_atlas, w32=w_atlas, h=0, w=0)
+        # Small-sigma set: edge+63 <= 128 with 64-lane shift copies.
+        # Large-sigma set: needs 2 lane tiles (edge 91 + residual 63 > 128).
+        wc = 128 if edges[b] + 63 <= 128 else 256
+        geom = _KernelGeom(wr=wr, wc=wc, h8=h_atlas, w32=w_atlas, h=0, w=0)
         sel = valid & ((subpix_s <= split) if b == 0 else (subpix_s > split))
         kidx, kcnt = rank_select_fn(sel, set_cap)
         bcx = cx[kidx]
         bcy = cy[kidx]
         ys = jnp.clip(((bcy - r1) // 8) * 8, 0, h_atlas - wr)
-        ss = jnp.clip(((bcx - r1) // 32) * 32, 0, w_atlas - 32)
-        cidx_ = (ss % 128) // 32
-        ax = ss - 32 * cidx_
+        # 64-aligned window start; keep the aligned DMA base within bounds.
+        ss = jnp.clip(((bcx - r1) // 64) * 64, 0, w_atlas - (wc - 64))
+        cidx_ = (ss % 128) // 64
+        ax = ss - 64 * cidx_
         addr = pack_addr(cidx_, layer[kidx], ys, ax)
         meta = jnp.stack([
             scale_x[kidx].astype(jnp.float32),

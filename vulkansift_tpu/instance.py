@@ -54,6 +54,7 @@ import jax.numpy as jnp
 
 from .config import SiftConfig, get_default_config
 from .detector import SiftDetector
+from .pipeline import make_detect_fn
 from .errors import DeviceError, InvalidInputError, Result
 from .ops.match import match_2nn
 from .types import (FEATURE_DTYPE, Features, Matches2NN, features_from_numpy,
@@ -96,15 +97,32 @@ def get_available_devices() -> List[str]:
 @dataclasses.dataclass
 class _BufferState:
     """Host-side bookkeeping for one on-device SIFT buffer (the analogue of
-    the reference's vksift_SiftBufferInfo, sift_memory.h:33-115)."""
+    the reference's vksift_SiftBufferInfo, sift_memory.h:33-115).
+
+    ``count``/``per_octave_counts`` are fetched lazily (one host round-trip)
+    so detect_features stays non-blocking like the reference's async submit
+    (vulkansift.h:40-47)."""
 
     features: Features
-    count: int = 0
-    per_octave_counts: Tuple[int, ...] = ()
+    count: Optional[int] = 0
+    per_octave_counts: Optional[Tuple[int, ...]] = ()
     input_width: int = 0
     input_height: int = 0
     gaussians: Optional[tuple] = None
     dogs: Optional[tuple] = None
+    lost: object = None  # device scalar, checked at first count access
+
+    def sync_counts(self, log) -> None:
+        if self.count is None:
+            import jax as _jax
+            cnt, lost, per_oct = _jax.device_get(
+                (self.features.count, self.lost, self.per_octave_counts))
+            self.count = int(cnt)
+            self.per_octave_counts = tuple(int(c) for c in per_oct)
+            if int(lost) > 0:
+                log.warning(
+                    "Buffer too small to store all detected features "
+                    "(%d features lost)", int(lost))
 
 
 class SiftInstance:
@@ -136,7 +154,9 @@ class SiftInstance:
             raise InvalidInputError(
                 f"device index {idx} out of range ({len(devices)} devices)")
         self.device = devices[idx] if idx >= 0 else devices[0]
-        self._detector = SiftDetector(config)
+        # Monolithic jitted pipeline, cached per input resolution (the
+        # staged SiftDetector remains available for host-visible debugging).
+        self._detect_cache = {}
         self._buffers: List[_BufferState] = [
             _BufferState(features=Features.empty(config.max_nb_sift_per_buffer))
             for _ in range(config.sift_buffer_count)]
@@ -196,18 +216,28 @@ class SiftInstance:
             pw, ph = -width % b, -height % b
             image = np.pad(image, ((0, ph), (0, pw)), mode="edge")
             height, width = image.shape
+        key = (width, height)
         try:
             with jax.default_device(self.device):
-                feats, gauss, dogs, per_octave = self._detector.detect(
-                    image, width, height)
+                if key not in self._detect_cache:
+                    self._detect_cache[key] = jax.jit(make_detect_fn(
+                        self.config, width, height,
+                        return_pyramid=self.config.retain_pyramid))
+                if self.config.retain_pyramid:
+                    out, gauss, dogs = self._detect_cache[key](image)
+                else:
+                    out = self._detect_cache[key](image)
+                    gauss = dogs = None
         except InvalidInputError:
             raise
         except Exception as e:  # noqa: BLE001
             self._dispatch_error(Result.DEVICE_ERROR)
             raise DeviceError("detection pipeline failure") from e
-        buf.features = feats
-        buf.count = int(sum(per_octave))
-        buf.per_octave_counts = tuple(per_octave)
+        # Non-blocking: results stay on device; counts fetch lazily.
+        buf.features = out.features
+        buf.count = None
+        buf.per_octave_counts = out.per_octave_counts
+        buf.lost = out.lost
         buf.input_width = width
         buf.input_height = height
         buf.gaussians = gauss
@@ -219,6 +249,8 @@ class SiftInstance:
         (parity: vksift_matchFeatures, vulkansift.c:417-441)."""
         buf_a = self._check_buffer(buffer_id_a)
         buf_b = self._check_buffer(buffer_id_b)
+        buf_a.sync_counts(logger)
+        buf_b.sync_counts(logger)
         na = max(self._round_up(buf_a.count), 64)
         desc_a = buf_a.features.descriptor[:na]
         try:
@@ -237,14 +269,19 @@ class SiftInstance:
 
     # -- data transfer (blocking) ---------------------------------------
     def get_features_number(self, buffer_id: int) -> int:
-        """Parity: vksift_getFeaturesNumber (host-side, no device work)."""
-        return self._check_buffer(buffer_id).count
+        """Parity: vksift_getFeaturesNumber — blocks until the async
+        detection finished (reference: fence wait, vulkansift.c:356-360),
+        then reads the cached count (no further device work)."""
+        buf = self._check_buffer(buffer_id)
+        buf.sync_counts(logger)
+        return buf.count
 
     def download_features(self, buffer_id: int) -> np.ndarray:
         """Blocking download of the packed features as a structured array
         with the exact vksift_Feature layout (parity:
         vksift_downloadFeatures)."""
         buf = self._check_buffer(buffer_id)
+        buf.sync_counts(logger)
         return features_to_numpy(buf.features, buf.count)
 
     def upload_features(self, feats: np.ndarray, buffer_id: int) -> None:

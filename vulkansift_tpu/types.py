@@ -114,9 +114,14 @@ def features_to_numpy(feats: Features, count: int | None = None) -> np.ndarray:
     """Pack valid features into a vksift_Feature-layout structured array."""
     n = int(feats.count) if count is None else int(count)
     out = np.zeros((n,), FEATURE_DTYPE)
-    # Blocking download (parity with the reference's fence wait): also flips
-    # is_ready() on every leaf so is_buffer_available() polls True after.
-    host = jax.device_get(jax.block_until_ready(feats))
+    # Download only the valid prefix (padded to a power of two so the slice
+    # program count stays bounded) — full-capacity transfers are wasteful,
+    # especially over slow host links. Blocking (parity with the reference's
+    # fence wait): also flips is_ready() for is_buffer_available() polls.
+    cap = feats.capacity
+    npad = min(cap, max(256, 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)))
+    sliced = jax.tree.map(lambda a: a[:npad] if a.ndim >= 1 else a, feats)
+    host = jax.device_get(jax.block_until_ready(sliced))
     for name in ("x", "y", "scale_x", "scale_y", "scale_idx", "octave_idx",
                  "sigma", "orientation", "intensity", "descriptor"):
         out[name] = np.asarray(getattr(host, name))[:n]

@@ -121,3 +121,40 @@ def test_ring_match_tie_breaking_across_shards():
     m = ring(jnp.asarray(a), 8, jnp.asarray(b), 64)
     assert int(m.idx_b1[0]) == 0
     assert int(m.idx_b2[0]) == 1
+
+
+def test_scaling_measurement_runs():
+    from vulkansift_tpu.parallel.scaling import measure_dp_scaling
+    cfg = vs.SiftConfig(use_input_upsampling=False,
+                        max_nb_sift_per_buffer=512, sift_buffer_count=1)
+    res = measure_dp_scaling(cfg, 128, 96, per_device_batch=1,
+                             device_counts=[1, 4, 8], iters=2)
+    assert [p["devices"] for p in res["points"]] == [1, 4, 8]
+    assert res["points"][0]["efficiency"] == 1.0
+    for p in res["points"]:
+        assert p["fps"] > 0
+
+
+def test_vlfeat_and_bf16_modes(small_image):
+    import dataclasses
+    from vulkansift_tpu.config import DescriptorFormat, PyramidPrecision
+    h, w = small_image.shape
+    img = jnp.asarray(small_image)
+    base = vs.SiftConfig(use_input_upsampling=False,
+                         max_nb_sift_per_buffer=1024, sift_buffer_count=1)
+    out_ubc = jax.jit(make_detect_fn(base, w, h))(img)
+    # VLFeat layout: same keypoints, different descriptor bin order.
+    cfg_vl = dataclasses.replace(base,
+                                 descriptor_format=DescriptorFormat.VLFEAT)
+    out_vl = jax.jit(make_detect_fn(cfg_vl, w, h))(img)
+    n = int(out_ubc.features.count)
+    assert int(out_vl.features.count) == n
+    np.testing.assert_allclose(np.asarray(out_vl.features.x)[:n],
+                               np.asarray(out_ubc.features.x)[:n], atol=1e-5)
+    assert (np.asarray(out_vl.features.descriptor)[:n]
+            != np.asarray(out_ubc.features.descriptor)[:n]).any()
+    # bf16 pyramid: runs end-to-end, finds a (possibly smaller) feature set.
+    cfg16 = dataclasses.replace(base,
+                                pyramid_precision=PyramidPrecision.FLOAT16)
+    out16 = jax.jit(make_detect_fn(cfg16, w, h))(img)
+    assert int(out16.features.count) > 0

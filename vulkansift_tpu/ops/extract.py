@@ -30,7 +30,7 @@ sizing (SiftConfig.octave_section_capacities; reference sift_memory.c:40-87).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,53 @@ def rank_select(mask_flat: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Arr
     # Zero-fill slots beyond the true count (parity with nonzero fill_value).
     idx = jnp.where(ranks <= count, idx, 0)
     return idx, count
+
+
+def dense_frontend(dog: jax.Array, dog_threshold: float,
+                   capacity: int) -> Tuple[Candidates, jax.Array]:
+    """Fused dense front half: extremum candidates AND the refinement
+    walk-code field from ONE set of 3x3x3 neighbor slices (the extremum
+    test and the Newton solve read identical neighborhoods; computing them
+    together lets XLA fuse the dense passes)."""
+    d = dog.astype(jnp.float32)
+    ns, h, w = d.shape
+
+    nb = {(a, b, c): jax.lax.dynamic_slice(
+        d, (a, b, c), (ns - 2, h - 2, w - 2))
+        for a in (0, 1, 2) for b in (0, 1, 2) for c in (0, 1, 2)}
+    ctr = nb[(1, 1, 1)]
+    nb_max = None
+    nb_min = None
+    for key, v in nb.items():
+        if key == (1, 1, 1):
+            continue
+        nb_max = v if nb_max is None else jnp.maximum(nb_max, v)
+        nb_min = v if nb_min is None else jnp.minimum(nb_min, v)
+    mask = (jnp.abs(ctr) > (dog_threshold * 0.8)) & (
+        (ctr > nb_max) | (ctr < nb_min))
+
+    idx, count = rank_select(mask.reshape(-1), capacity)
+    hw = (h - 2) * (w - 2)
+    s = idx // hw + 1
+    rem = idx % hw
+    y = rem // (w - 2) + 1
+    x = rem % (w - 2) + 1
+    cand = Candidates(s=s.astype(jnp.int32), y=y.astype(jnp.int32),
+                      x=x.astype(jnp.int32), count=count)
+
+    off_s, off_x, off_y, _, _, _, singular = _newton_step(
+        *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
+          for c in (0, 1, 2)])
+    conv = ((jnp.abs(off_x) < 0.6) & (jnp.abs(off_y) < 0.6)
+            & (jnp.abs(off_s) < 0.6))
+
+    def sign_code(off):
+        return jnp.where(off >= 0.6, 2, jnp.where(off <= -0.6, 0, 1))
+
+    code = (sign_code(off_s) + 3 * sign_code(off_x) + 9 * sign_code(off_y)
+            + _CODE_CONV * conv.astype(jnp.int32)
+            + _CODE_SING * singular.astype(jnp.int32))
+    return cand, code.astype(jnp.int8)
 
 
 def extremum_candidates(dog: jax.Array, dog_threshold: float,
@@ -207,7 +254,8 @@ def _gather_flat(flat: jax.Array, idx: jax.Array) -> jax.Array:
 def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
                       width: int, height: int, dog_threshold: float,
                       edge_threshold: float, seed_sigma: float,
-                      octave_idx: int) -> RefinedKeypoints:
+                      octave_idx: int,
+                      code: Optional[jax.Array] = None) -> RefinedKeypoints:
     """Subpixel refinement of compacted candidates (see module docstring).
 
     Slots at index >= cand.count walk dummy data and are masked invalid.
@@ -218,7 +266,9 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
     ns, h, w = d.shape
     hi, wi = h - 2, w - 2
 
-    code_flat = _dense_walk_code(dog).reshape(-1)  # int8: 1 byte/cell in HBM
+    if code is None:
+        code = _dense_walk_code(dog)
+    code_flat = code.reshape(-1)  # int8: 1 byte/cell in HBM
 
     def code_at(rs, ry, rx):
         idx = ((rs - 1) * hi + (ry - 1)) * wi + (rx - 1)

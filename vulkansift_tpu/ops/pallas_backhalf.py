@@ -186,8 +186,10 @@ def _make_kernel(geom: _KernelGeom, *, ori_cap: int, use_vlfeat: bool,
             wscr.at[slot], sems.at[slot]).wait()
 
         # Per-keypoint metadata (all values exact integers or subpixel
-        # floats, broadcast from (1, 1) slices of the VMEM block).
-        meta = meta_ref[0]                       # (1, 8) f32
+        # floats, broadcast from (1, 1) slices of the VMEM block). The
+        # block covers 8 consecutive grid steps, so Mosaic re-fetches it
+        # only every 8th step.
+        meta = meta_ref[jax.lax.rem(step, 8)]    # (1, 8) f32
         sxf = meta[0:1, 0:1]
         syf = meta[0:1, 1:2]
         sig = meta[0:1, 2:3]
@@ -310,10 +312,13 @@ def _make_kernel(geom: _KernelGeom, *, ori_cap: int, use_vlfeat: bool,
                           for c in range(NB_HIST)
                           for o in range(NB_ORI)]
                 vmat = jnp.concatenate(v_rows, axis=0)       # (32, N)
-                # bf16x3-pass matmul: rel err ~1e-4, ~0.01 of a u8
-                # descriptor bin after the x512 quantization.
+                # Explicit bf16 operands = single MXU pass (vs 3 for
+                # f32 inputs); accumulation stays f32. Per-element rel err
+                # ~4e-3 averages out over the ~1e3 contributing pixels —
+                # well under one u8 descriptor bin after quantization.
                 acc = jax.lax.dot_general(
-                    u, vmat, (((1,), (1,)), ((), ())),
+                    u.astype(jnp.bfloat16), vmat.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)      # (4, 32)
                 desc_ref[0, j] = acc
         pval_ref[:] = jnp.concatenate(vs, axis=1).reshape(1, 1, ori_cap)
@@ -347,6 +352,10 @@ def orientation_descriptor_tpu(
         ylo, yhi, xhi] (exact integers as floats), VMEM-blocked per step.
     """
     capp = addr.shape[0]
+    if capp % 8:
+        pad = 8 - capp % 8
+        addr = jnp.pad(addr, (0, pad))
+        meta = jnp.pad(meta, ((0, pad), (0, 0), (0, 0)))
     kernel = _make_kernel(geom, ori_cap=ori_cap, use_vlfeat=use_vlfeat,
                           capp=capp)
     wr, wc = geom.wr, geom.wc
@@ -355,7 +364,7 @@ def orientation_descriptor_tpu(
         num_scalar_prefetch=2,
         grid=(count,),
         in_specs=[
-            pl.BlockSpec((1, 1, 8), lambda i, *s: (i, 0, 0),
+            pl.BlockSpec((8, 1, 8), lambda i, *s: (i // 8, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -534,7 +543,6 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     in_cnt = jnp.concatenate([jnp.arange(set_cap) < c for c in kcnts])
     peak = jnp.concatenate([o.peak for o in outs])
     angles = jnp.concatenate([o.angles for o in outs])
-    desc_raw = jnp.concatenate([o.desc_raw for o in outs])
 
     pvalid = ((peak > 0.0) & in_cnt[:, None]).reshape(-1)
     pair_total = jnp.sum(pvalid, dtype=jnp.int32)
@@ -543,9 +551,19 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     pidx, _ = rank_select_fn(pvalid, capacity)
     parent = kidx_all[pidx // ori_cap]
     angle = angles.reshape(-1)[pidx]
+    # Gather descriptors from each set's output separately — concatenating
+    # the two capacity-sized raw buffers first would copy ~0.5 GB of mostly
+    # garbage rows through HBM.
+    nrows = set_cap * ori_cap
+    d128 = NB_HIST * NB_HIST * NB_ORI
+    in_small = pidx < nrows
+    d_small = outs[0].desc_raw.reshape(nrows, d128)[
+        jnp.minimum(pidx, nrows - 1)]
+    d_large = outs[1].desc_raw.reshape(nrows, d128)[
+        jnp.maximum(pidx - nrows, 0)]
     from .descriptor import normalize_descriptor
     desc_u8 = normalize_descriptor(
-        desc_raw.reshape(-1, NB_HIST * NB_HIST * NB_ORI)[pidx])
+        jnp.where(in_small[:, None], d_small, d_large))
     in_count = jnp.arange(capacity) < count
 
     # Per-octave counts (diagnostics parity: per-section counters).

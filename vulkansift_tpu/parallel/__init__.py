@@ -8,6 +8,8 @@
 from .mesh import DATA_AXIS, init_distributed, make_mesh
 from .dp import make_dp_detect_fn, shard_batch
 from .ring_match import make_ring_match_fn
+from .scaling import measure_dp_scaling
 
 __all__ = ["DATA_AXIS", "init_distributed", "make_mesh",
-           "make_dp_detect_fn", "shard_batch", "make_ring_match_fn"]
+           "make_dp_detect_fn", "shard_batch", "make_ring_match_fn",
+           "measure_dp_scaling"]

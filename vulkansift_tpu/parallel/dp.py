@@ -20,13 +20,14 @@ from ..pipeline import make_detect_fn
 
 
 def make_dp_detect_fn(config: SiftConfig, width: int, height: int,
-                      mesh: Mesh, axis_name: str = "data"):
+                      mesh: Mesh, axis_name: str = "data",
+                      backhalf: str = "auto"):
     """Build a jitted data-parallel batched detect over ``mesh``.
 
     Returned ``fn(images u8[B, H, W]) -> DetectOutput`` with leading batch
     dim on every output leaf; B must be divisible by the mesh axis size.
     """
-    detect = make_detect_fn(config, width, height)
+    detect = make_detect_fn(config, width, height, backhalf=backhalf)
     local_batched = jax.vmap(detect)
 
     def local_fn(images):

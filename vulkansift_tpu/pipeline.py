@@ -141,13 +141,14 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
         for o, (ow, oh) in enumerate(oct_res):
             cap_o = caps[o]
             octave_idx = o - (1 if cfg.use_input_upsampling else 0)
-            cand = extract.extremum_candidates(
+            cand, code = extract.dense_frontend(
                 dogs[o], cfg.dog_threshold, cap_o)
             refined_list.append(extract.refine_candidates(
                 dogs[o], cand, nb_scales=s, width=ow, height=oh,
                 dog_threshold=cfg.dog_threshold,
                 edge_threshold=cfg.edge_threshold,
-                seed_sigma=cfg.seed_scale_sigma, octave_idx=octave_idx))
+                seed_sigma=cfg.seed_scale_sigma, octave_idx=octave_idx,
+                code=code))
 
         if backhalf == "pallas":
             # Whole-pyramid fused back half (2 pallas_calls total).

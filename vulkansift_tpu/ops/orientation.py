@@ -110,13 +110,20 @@ def compute_orientations(ps: PatchSet, *, ori_radius: int,
         [jnp.sum(jnp.where(bins2 == b, mag2, 0.0), axis=-1)
          for b in range(NB_ORI_HIST_BINS)], axis=-1)  # (K, 36)
 
-    # 6x circular [1,1,1]/3 smoothing (ComputeOrientation.comp:130-147).
+    return peaks_from_histograms(hist, capacity)
+
+
+def peaks_from_histograms(hist: jax.Array, capacity: int) -> Orientations:
+    """Smooth + peak-pick a batch of 36-bin orientation histograms.
+
+    6x circular [1,1,1]/3 smoothing (ComputeOrientation.comp:130-147), then
+    strict local maxima >= 0.8*max with parabolic interpolation
+    (:152-168), strongest first, up to ``capacity`` per row.
+    """
     for _ in range(6):
         hist = (jnp.roll(hist, 1, axis=-1) + hist
                 + jnp.roll(hist, -1, axis=-1)) / 3.0
 
-    # Peaks: strict local maxima >= 0.8 * max, parabolic interpolation
-    # (ComputeOrientation.comp:152-168).
     prev = jnp.roll(hist, 1, axis=-1)
     nxt = jnp.roll(hist, -1, axis=-1)
     hmax = jnp.max(hist, axis=-1, keepdims=True)

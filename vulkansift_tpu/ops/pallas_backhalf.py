@@ -1,37 +1,38 @@
-"""Fused orientation + descriptor TPU kernel (Pallas).
+"""Fused orientation + descriptor TPU kernels (Pallas).
 
 The reference runs ComputeOrientation (32 threads/keypoint) and
 ComputeDescriptors (64 threads/keypoint) as indirect dispatches so device
 work scales with the *actual* keypoint count (sift_detector.c:1191-1259).
-This module is the TPU equivalent: one Pallas kernel whose grid covers the
-static capacity but whose steps self-skip beyond the live count
-(``@pl.when(i < count)``) — compute scales with actual keypoints, the
-XLA-visible shapes stay static.
+This module is the TPU equivalent: Pallas kernels with a DYNAMIC grid equal
+to the live keypoint/pair count — no skipped-step overhead, static XLA
+shapes.
 
-Per grid step (one keypoint):
+Two kernels (profiling on v5e showed that tiny (1, 36) histogram
+smoothing/peak ops inside a per-keypoint kernel are op-issue bound and cost
+more than all the windowed vector math combined — so anything per-keypoint
+that is small moves OUT to batched XLA):
 
-1. A σ-bucketed square window of the keypoint's gaussian layer is DMA'd
-   HBM→VMEM (multi-buffered 3 steps ahead to hide DMA latency). Window
-   starts must be tile-aligned, so column alignment uses 4 lane-shifted
-   copies of the octave (32-lane granularity) and row starts align to 8.
-2. Gradients/magnitude/angle are computed in-register (atan2 via an
-   in-kernel polynomial — Mosaic has no atan2 primitive).
-3. The 36-bin orientation histogram (gaussian-weighted, box-masked,
-   ComputeOrientation.comp:70-121) accumulates via 36 masked reductions,
-   is smoothed 6x with the circular [1,1,1]/3 kernel, and up to
-   ``ori_cap`` strict-local-max peaks >= 0.8*max are picked
-   strongest-first with parabolic interpolation (:130-168).
-4. For each valid orientation, the 128-bin descriptor
-   (ComputeDescriptors.comp:106-198) is accumulated as ONE MXU matmul:
-   ``desc(4,32) = U(4,Npx) @ V(32,Npx)^T`` where U rows are
-   y-cell-hat-weighted magnitudes and V rows are x-cell x orientation-bin
-   hat products, with ``precision=HIGHEST`` (f32-exact). This replaces the
-   shader's fixed-point shared-memory atomics.
+* **K1 (histogram)**: per keypoint, DMA a small window (orientation radius)
+  of the keypoint's gaussian layer from a whole-pyramid ATLAS, compute
+  gradients (in-kernel polynomial atan2 — Mosaic lacks the primitive),
+  gaussian-weighted magnitudes, and the raw 36-bin histogram
+  (ComputeOrientation.comp:70-121). Smoothing, parabolic peak
+  interpolation and top-k selection run vectorized in XLA
+  (:mod:`.orientation.peaks_from_histograms`).
+* **K2 (descriptor)**: per (keypoint, orientation) pair, DMA the larger
+  descriptor window (two sigma buckets), rebuild gradients, and accumulate
+  the 128-bin descriptor as ONE MXU matmul ``desc(4,32) = U(4,N) @
+  V(32,N)^T`` in bf16 with f32 accumulation
+  (ComputeDescriptors.comp:106-198) — replacing the shader's fixed-point
+  shared-memory atomics.
+
+Window DMA alignment: rows align to 8 (f32 sublane tile); columns use two
+64-lane-shifted atlas copies so any 64-aligned window start maps to a
+128-aligned DMA on one copy. DMAs are multi-buffered ``_PREFETCH`` steps
+ahead. Only a packed address word lives in SMEM (~1 MB total); all other
+per-keypoint metadata arrives as VMEM blocks spanning 8 grid steps.
 
 Normalization/quantization to u8 runs in XLA afterwards (tiny).
-
-Octaves narrower than 128 px fall back to the XLA ops (their cost is
-negligible); see :mod:`vulkansift_tpu.pipeline`.
 """
 
 from __future__ import annotations
@@ -87,7 +88,7 @@ def atan2_0_2pi(y: jax.Array, x: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Window geometry (sigma buckets)
+# Window geometry
 # ---------------------------------------------------------------------------
 
 def desc_window_edge(sigma_oct_max: float) -> int:
@@ -100,35 +101,38 @@ def desc_window_edge(sigma_oct_max: float) -> int:
     return 2 * (r + 1) + 1
 
 
-def bucket_thresholds(config: SiftConfig) -> Tuple[float, ...]:
-    """subpix_s thresholds splitting keypoints into 3 sigma buckets."""
-    smax = config.nb_scales_per_octave + 1
-    return (smax / 3.0, 2.0 * smax / 3.0)
+def ori_window_edge(sigma_oct_max: float) -> int:
+    """Orientation window edge incl. gradient ring: box radius
+    floor(3*1.5*sigma) (ComputeOrientation.comp:70-71)."""
+    r = int(math.floor(3.0 * LAMBDA_ORIENTATION * sigma_oct_max))
+    return 2 * (r + 1) + 1
 
 
-def bucket_sigma_max(config: SiftConfig) -> Tuple[float, ...]:
-    s = config.nb_scales_per_octave
-    t1, t2 = bucket_thresholds(config)
-    return tuple(config.seed_scale_sigma * 2.0 ** (t / s)
-                 for t in (t1, t2, float(s + 1)))
+def _sigma_split(config: SiftConfig) -> float:
+    """subpix_s threshold splitting pairs into small/large-window sets."""
+    return (config.nb_scales_per_octave + 1) / 2.0
+
+
+def _sigma_max(config: SiftConfig, subpix_s: float) -> float:
+    return config.seed_scale_sigma * 2.0 ** (
+        subpix_s / config.nb_scales_per_octave)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _window_rows(edge: int) -> int:
+    # Coverage: edge + <=7 row alignment slack, rounded to the f32 tile.
+    return _round_up(edge + 7, 8)
+
+
 class _KernelGeom(NamedTuple):
     wr: int   # window rows (8-aligned)
-    wc: int   # window cols (128)
-    h8: int   # padded image rows
-    w32: int  # padded image cols
-    h: int    # true image rows
-    w: int    # true image cols
+    wc: int   # window cols (128 or 256)
+    h8: int   # padded atlas rows
+    w32: int  # padded atlas cols (128-multiple)
 
-
-# ---------------------------------------------------------------------------
-# The kernel
-# ---------------------------------------------------------------------------
 
 # Packed DMA-address word: cidx (2b) | layer (3b) | ys/8 (11b) | ax/128 (rest)
 _ADDR_LAYER_SHIFT = 2
@@ -138,263 +142,9 @@ _ADDR_AX_SHIFT = 16
 
 def pack_addr(cidx, layer, ys, ax):
     # cidx is the 64-lane shift-copy index (0 or 1).
-    return (cidx + (layer << _ADDR_LAYER_SHIFT) + ((ys // 8) << _ADDR_YS_SHIFT)
+    return (cidx + (layer << _ADDR_LAYER_SHIFT)
+            + ((ys // 8) << _ADDR_YS_SHIFT)
             + ((ax // 128) << _ADDR_AX_SHIFT)).astype(jnp.int32)
-
-
-def _make_kernel(geom: _KernelGeom, *, ori_cap: int, use_vlfeat: bool,
-                 capp: int):
-    wr, wc, h8, w32, _, _ = geom
-    n = wr * wc
-    nb = NB_ORI_HIST_BINS
-    half_cells = NB_HIST / 2.0  # 2.0
-
-    def kernel(count_ref, addr_ref, meta_ref, gauss_ref,
-               desc_ref, ang_ref, pval_ref, wscr, sems):
-        # Grid is DYNAMIC: exactly ``count`` steps run (the TPU analogue of
-        # the reference's vkCmdDispatchIndirect) — no skipped-step overhead.
-        # Only the packed DMA-address word lives in SMEM; all other
-        # per-keypoint metadata arrives as a VMEM block (meta_ref).
-        step = pl.program_id(0)
-
-        def start_dma(i):
-            @pl.when(i < count_ref[0])
-            def _():
-                idx = jnp.minimum(i, capp - 1)
-                a = addr_ref[idx]
-                cidx = jax.lax.rem(a, 4)
-                layer = jax.lax.rem(a >> _ADDR_LAYER_SHIFT, 8)
-                ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
-                ax = (a >> _ADDR_AX_SHIFT) * 128
-                slot = jax.lax.rem(i, _N_BUF)
-                pltpu.make_async_copy(
-                    gauss_ref.at[cidx, layer,
-                                 pl.ds(pl.multiple_of(ys, 8), wr),
-                                 pl.ds(pl.multiple_of(ax, 128), wc)],
-                    wscr.at[slot], sems.at[slot]).start()
-
-        @pl.when(step == 0)
-        def _():
-            for p in range(_PREFETCH):
-                start_dma(jnp.int32(p))
-
-        start_dma(step + _PREFETCH)
-
-        slot = jax.lax.rem(step, _N_BUF)
-        pltpu.make_async_copy(
-            gauss_ref.at[0, 0, pl.ds(0, wr), pl.ds(0, wc)],
-            wscr.at[slot], sems.at[slot]).wait()
-
-        # Per-keypoint metadata (all values exact integers or subpixel
-        # floats, broadcast from (1, 1) slices of the VMEM block). The
-        # block covers 8 consecutive grid steps, so Mosaic re-fetches it
-        # only every 8th step.
-        meta = meta_ref[jax.lax.rem(step, 8)]    # (1, 8) f32
-        sxf = meta[0:1, 0:1]
-        syf = meta[0:1, 1:2]
-        sig = meta[0:1, 2:3]
-        cxf = meta[0:1, 3:4]
-        cyf = meta[0:1, 4:5]
-        ylo = meta[0:1, 5:6]
-        yhi = meta[0:1, 6:7]
-        xhi = meta[0:1, 7:8]
-
-        a = addr_ref[step]
-        ys0 = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
-        ss0 = (a >> _ADDR_AX_SHIFT) * 128 + jax.lax.rem(a, 4) * 64
-
-        win = wscr[slot]
-        gx = 0.5 * (pltpu.roll(win, wc - 1, 1) - pltpu.roll(win, 1, 1))
-        gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
-        mag = jnp.sqrt(gx * gx + gy * gy)
-        theta = atan2_0_2pi(gy, gx)
-
-        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
-        py = (ys0 + ii).astype(jnp.float32)
-        px = (ss0 + jj).astype(jnp.float32)
-        # Structural window border (roll wrap) + per-keypoint image
-        # interior (atlas band bounds, atlas coordinates).
-        mask0 = ((ii >= 1) & (ii <= wr - 2) & (jj >= 1) & (jj <= wc - 2)
-                 & (px >= 1) & (px <= xhi) & (py >= ylo) & (py <= yhi))
-
-        dxi = px - cxf
-        dyi = py - cyf
-        sdx = px - sxf
-        sdy = py - syf
-
-        # --- orientation histogram (ComputeOrientation.comp:70-121) ---
-        slam = LAMBDA_ORIENTATION * sig
-        obr = jnp.floor(3.0 * slam)
-        oexp = -1.0 / (2.0 * slam * slam)
-        omask = mask0 & (jnp.abs(dxi) <= obr) & (jnp.abs(dyi) <= obr)
-        om = jnp.where(omask,
-                       jnp.exp((sdx * sdx + sdy * sdy) * oexp) * mag,
-                       0.0)
-        bins = jnp.minimum(
-            jnp.floor(theta * (nb / _TWO_PI)), nb - 1).astype(jnp.int32)
-        hist = jnp.concatenate(
-            [jnp.sum(jnp.where(bins == b, om, 0.0)).reshape(1, 1)
-             for b in range(nb)], axis=1)
-        for _ in range(6):
-            hist = (pltpu.roll(hist, 1, 1) + hist
-                    + pltpu.roll(hist, nb - 1, 1)) * (1.0 / 3.0)
-
-        prev = pltpu.roll(hist, 1, 1)
-        nxt = pltpu.roll(hist, nb - 1, 1)
-        hmax = jnp.max(hist)
-        is_peak = ((hist >= ORI_PEAK_RATIO * hmax) & (hist > prev)
-                   & (hist > nxt))
-        denom = prev - 2.0 * hist + nxt
-        interp = jnp.where(denom == 0.0, 0.0,
-                           0.5 * (prev - nxt)
-                           / jnp.where(denom == 0.0, 1.0, denom))
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-        angles_all = ((lane.astype(jnp.float32) + interp + 0.5)
-                      * (_TWO_PI / nb))
-        cand = jnp.where(is_peak, hist, -1.0)
-
-        # --- descriptor factors shared across orientations ----------
-        dlam = LAMBDA_DESCRIPTOR * sig
-        drad = jnp.floor(math.sqrt(2.0) * dlam * (NB_HIST + 1) * 0.5 + 0.5)
-        dmask = mask0 & (jnp.abs(dxi) <= drad) & (jnp.abs(dyi) <= drad)
-        dexp = -1.0 / (2.0 * half_cells * half_cells)
-        inv_lam = 1.0 / dlam
-
-        vs = []
-        angs = []
-        for j in range(ori_cap):
-            v = jnp.max(cand)
-            pos = jnp.argmax(cand)
-            ang = jnp.sum(jnp.where(lane == pos, angles_all, 0.0))
-            vs.append(v.reshape(1, 1))
-            angs.append(ang.reshape(1, 1))
-            cand = jnp.where(lane == pos, -1.0, cand)
-
-            @pl.when(v > 0.0)
-            def _(ang=ang, j=j):
-                kc = jnp.cos(ang) * inv_lam
-                ks = jnp.sin(ang) * inv_lam
-                ox = kc * sdx + ks * sdy
-                oy = kc * sdy - ks * sdx
-                wm = jnp.where(
-                    dmask, jnp.exp(dexp * (ox * ox + oy * oy)) * mag,
-                    0.0)
-                rel = jnp.mod(theta - ang, _TWO_PI)
-                if use_vlfeat:
-                    fb = rel * (NB_ORI / _TWO_PI)
-                else:
-                    fb = jnp.mod(-rel, _TWO_PI) * (NB_ORI / _TWO_PI)
-                ty = oy + half_cells - 0.5
-                tx = ox + half_cells - 0.5
-
-                def flat(x):
-                    # (wr, wc) -> (1, wr*wc); Mosaic only flattens single
-                    # lane-tile rows, so concat per-128-lane tiles.
-                    if wc == 128:
-                        return x.reshape(1, n)
-                    return jnp.concatenate(
-                        [x[:, t * 128:(t + 1) * 128].reshape(1, wr * 128)
-                         for t in range(wc // 128)], axis=1)
-
-                u_rows = [
-                    flat(jnp.maximum(0.0, 1.0 - jnp.abs(ty - c)) * wm)
-                    for c in range(NB_HIST)]
-                u = jnp.concatenate(u_rows, axis=0)          # (4, N)
-                wx = [jnp.maximum(0.0, 1.0 - jnp.abs(tx - c))
-                      for c in range(NB_HIST)]
-                wo = []
-                for o in range(NB_ORI):
-                    od = jnp.abs(fb - o)
-                    wo.append(jnp.maximum(
-                        0.0, 1.0 - jnp.minimum(od, NB_ORI - od)))
-                v_rows = [flat(wx[c] * wo[o])
-                          for c in range(NB_HIST)
-                          for o in range(NB_ORI)]
-                vmat = jnp.concatenate(v_rows, axis=0)       # (32, N)
-                # Explicit bf16 operands = single MXU pass (vs 3 for
-                # f32 inputs); accumulation stays f32. Per-element rel err
-                # ~4e-3 averages out over the ~1e3 contributing pixels —
-                # well under one u8 descriptor bin after quantization.
-                acc = jax.lax.dot_general(
-                    u.astype(jnp.bfloat16), vmat.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (4, 32)
-                desc_ref[0, j] = acc
-        pval_ref[:] = jnp.concatenate(vs, axis=1).reshape(1, 1, ori_cap)
-        ang_ref[:] = jnp.concatenate(angs, axis=1).reshape(1, 1, ori_cap)
-
-    return kernel
-
-
-class BackhalfOut(NamedTuple):
-    desc_raw: jax.Array  # f32 (capp, ori_cap, 4, 32) unnormalized
-    angles: jax.Array    # f32 (capp, ori_cap)
-    peak: jax.Array      # f32 (capp, ori_cap); valid = peak > 0
-
-
-def orientation_descriptor_tpu(
-        gauss4: jax.Array, count: jax.Array, addr: jax.Array,
-        meta: jax.Array, *, geom: _KernelGeom, ori_cap: int,
-        use_vlfeat: bool) -> BackhalfOut:
-    """Run the fused kernel over one set of keypoints (atlas coords).
-
-    The grid is DYNAMIC (= the live keypoint count), so device time scales
-    with actual keypoints, not capacity. Output rows at index >= count are
-    UNWRITTEN garbage; callers must mask by count (run_atlas does).
-
-    Args:
-      gauss4: (4, L, H_atlas, W_atlas) f32 lane-shifted atlas copies.
-      count: i32[] live keypoint count.
-      addr: i32[cap] packed DMA-address words (pack_addr) — the only
-        per-keypoint SMEM array (SMEM is ~1MB total).
-      meta: f32[cap, 1, 8] per-keypoint [sx, sy_atlas, sigma_oct, cx, cy,
-        ylo, yhi, xhi] (exact integers as floats), VMEM-blocked per step.
-    """
-    capp = addr.shape[0]
-    if capp % 8:
-        pad = 8 - capp % 8
-        addr = jnp.pad(addr, (0, pad))
-        meta = jnp.pad(meta, ((0, pad), (0, 0), (0, 0)))
-    kernel = _make_kernel(geom, ori_cap=ori_cap, use_vlfeat=use_vlfeat,
-                          capp=capp)
-    wr, wc = geom.wr, geom.wc
-    count = jnp.asarray(count, jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(count,),
-        in_specs=[
-            pl.BlockSpec((8, 1, 8), lambda i, *s: (i // 8, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, ori_cap, NB_HIST, NB_HIST * NB_ORI),
-                         lambda i, *s: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ori_cap), lambda i, *s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ori_cap), lambda i, *s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((_N_BUF, wr, wc), jnp.float32),
-            pltpu.SemaphoreType.DMA((_N_BUF,)),
-        ],
-    )
-    desc, ang, pval = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((capp, ori_cap, NB_HIST,
-                                  NB_HIST * NB_ORI), jnp.float32),
-            jax.ShapeDtypeStruct((capp, 1, ori_cap), jnp.float32),
-            jax.ShapeDtypeStruct((capp, 1, ori_cap), jnp.float32),
-        ),
-        grid_spec=grid_spec,
-    )(count.reshape(1), addr, meta, gauss4)
-    return BackhalfOut(desc_raw=desc,
-                       angles=ang.reshape(capp, -1),
-                       peak=pval.reshape(capp, -1))
 
 
 def make_shifted_copies(atlas: jax.Array) -> jax.Array:
@@ -404,38 +154,308 @@ def make_shifted_copies(atlas: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Shared kernel machinery
+# ---------------------------------------------------------------------------
+
+def _dma_machinery(count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp):
+    """Returns (start_dma, wait_current) closures for the standard
+    multi-buffered window-DMA pattern."""
+    wr, wc = geom.wr, geom.wc
+
+    def start_dma(i):
+        @pl.when(i < count_ref[0])
+        def _():
+            idx = jnp.minimum(i, capp - 1)
+            a = addr_ref[idx]
+            cidx = jax.lax.rem(a, 4)
+            layer = jax.lax.rem(a >> _ADDR_LAYER_SHIFT, 8)
+            ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
+            ax = (a >> _ADDR_AX_SHIFT) * 128
+            slot = jax.lax.rem(i, _N_BUF)
+            pltpu.make_async_copy(
+                gauss_ref.at[cidx, layer,
+                             pl.ds(pl.multiple_of(ys, 8), wr),
+                             pl.ds(pl.multiple_of(ax, 128), wc)],
+                wscr.at[slot], sems.at[slot]).start()
+
+    def wait_current(step):
+        slot = jax.lax.rem(step, _N_BUF)
+        pltpu.make_async_copy(
+            gauss_ref.at[0, 0, pl.ds(0, wr), pl.ds(0, wc)],
+            wscr.at[slot], sems.at[slot]).wait()
+        return wscr[slot]
+
+    return start_dma, wait_current
+
+
+def _window_fields(win, step, addr_ref, meta, geom):
+    """Common per-window quantities: gradients, magnitude, angle, coords,
+    interior mask, and per-keypoint metadata scalars."""
+    wr, wc = geom.wr, geom.wc
+    gx = 0.5 * (pltpu.roll(win, wc - 1, 1) - pltpu.roll(win, 1, 1))
+    gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    theta = atan2_0_2pi(gy, gx)
+
+    a = addr_ref[step]
+    ys0 = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
+    ss0 = (a >> _ADDR_AX_SHIFT) * 128 + jax.lax.rem(a, 4) * 64
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
+    py = (ys0 + ii).astype(jnp.float32)
+    px = (ss0 + jj).astype(jnp.float32)
+
+    sxf, syf, sig = meta[0:1, 0:1], meta[0:1, 1:2], meta[0:1, 2:3]
+    cxf, cyf = meta[0:1, 3:4], meta[0:1, 4:5]
+    ylo, yhi, xhi = meta[0:1, 5:6], meta[0:1, 6:7], meta[0:1, 7:8]
+
+    # Structural window border (roll wrap) + per-keypoint image interior
+    # (atlas band bounds, atlas coordinates).
+    mask0 = ((ii >= 1) & (ii <= wr - 2) & (jj >= 1) & (jj <= wc - 2)
+             & (px >= 1) & (px <= xhi) & (py >= ylo) & (py <= yhi))
+    return dict(mag=mag, theta=theta, px=px, py=py, mask0=mask0,
+                sx=sxf, sy=syf, sig=sig, cx=cxf, cy=cyf)
+
+
+# ---------------------------------------------------------------------------
+# K1: orientation histogram kernel
+# ---------------------------------------------------------------------------
+
+def _make_hist_kernel(geom: _KernelGeom, capp: int):
+    nb = NB_ORI_HIST_BINS
+
+    def kernel(count_ref, addr_ref, meta_ref, gauss_ref, hist_ref,
+               wscr, sems):
+        step = pl.program_id(0)
+        start_dma, wait_current = _dma_machinery(
+            count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp)
+
+        @pl.when(step == 0)
+        def _():
+            for p in range(_PREFETCH):
+                start_dma(jnp.int32(p))
+
+        start_dma(step + _PREFETCH)
+        win = wait_current(step)
+        f = _window_fields(win, step, addr_ref,
+                           meta_ref[jax.lax.rem(step, 8)], geom)
+
+        # Gaussian-weighted magnitudes over the sigma-dependent box
+        # (ComputeOrientation.comp:70-99).
+        slam = LAMBDA_ORIENTATION * f["sig"]
+        obr = jnp.floor(3.0 * slam)
+        oexp = -1.0 / (2.0 * slam * slam)
+        dxi = f["px"] - f["cx"]
+        dyi = f["py"] - f["cy"]
+        sdx = f["px"] - f["sx"]
+        sdy = f["py"] - f["sy"]
+        omask = (f["mask0"] & (jnp.abs(dxi) <= obr)
+                 & (jnp.abs(dyi) <= obr))
+        om = jnp.where(
+            omask, jnp.exp((sdx * sdx + sdy * sdy) * oexp) * f["mag"], 0.0)
+        bins = jnp.minimum(
+            jnp.floor(f["theta"] * (nb / _TWO_PI)), nb - 1).astype(jnp.int32)
+        hist = jnp.concatenate(
+            [jnp.sum(jnp.where(bins == b, om, 0.0)).reshape(1, 1)
+             for b in range(nb)], axis=1)
+        hist_ref[:] = hist.reshape(1, 1, nb)
+
+    return kernel
+
+
+def orientation_hist_tpu(gauss4: jax.Array, count: jax.Array,
+                         addr: jax.Array, meta: jax.Array, *,
+                         geom: _KernelGeom) -> jax.Array:
+    """Raw 36-bin orientation histograms for ``count`` keypoints.
+
+    Rows at index >= count are UNWRITTEN garbage; callers must mask."""
+    capp = addr.shape[0]
+    if capp % 8:
+        pad = 8 - capp % 8
+        addr = jnp.pad(addr, (0, pad))
+        meta = jnp.pad(meta, ((0, pad), (0, 0), (0, 0)))
+    capp_p = addr.shape[0]
+    kernel = _make_hist_kernel(geom, capp_p)
+    count = jnp.asarray(count, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(count,),
+        in_specs=[
+            pl.BlockSpec((8, 1, 8), lambda i, *s: (i // 8, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, NB_ORI_HIST_BINS),
+                               lambda i, *s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_N_BUF, geom.wr, geom.wc), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_BUF,)),
+        ],
+    )
+    hist = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((capp_p, 1, NB_ORI_HIST_BINS),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+    )(count.reshape(1), addr, meta, gauss4)
+    return hist.reshape(capp_p, NB_ORI_HIST_BINS)[:capp]
+
+
+# ---------------------------------------------------------------------------
+# K2: descriptor kernel (per (keypoint, orientation) pair)
+# ---------------------------------------------------------------------------
+
+def _make_desc_kernel(geom: _KernelGeom, capp: int, use_vlfeat: bool):
+    wr, wc = geom.wr, geom.wc
+    n = wr * 128
+    half_cells = NB_HIST / 2.0  # 2.0
+
+    def kernel(count_ref, addr_ref, meta_ref, gauss_ref, desc_ref,
+               wscr, sems):
+        step = pl.program_id(0)
+        start_dma, wait_current = _dma_machinery(
+            count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp)
+
+        @pl.when(step == 0)
+        def _():
+            for p in range(_PREFETCH):
+                start_dma(jnp.int32(p))
+
+        start_dma(step + _PREFETCH)
+        win = wait_current(step)
+        meta = meta_ref[jax.lax.rem(step, 8)]
+        f = _window_fields(win, step, addr_ref, meta, geom)
+        ang = meta[0:1, 8:9]
+
+        sig = f["sig"]
+        dlam = LAMBDA_DESCRIPTOR * sig
+        drad = jnp.floor(math.sqrt(2.0) * dlam * (NB_HIST + 1) * 0.5 + 0.5)
+        dxi = f["px"] - f["cx"]
+        dyi = f["py"] - f["cy"]
+        sdx = f["px"] - f["sx"]
+        sdy = f["py"] - f["sy"]
+        dmask = (f["mask0"] & (jnp.abs(dxi) <= drad)
+                 & (jnp.abs(dyi) <= drad))
+        dexp = -1.0 / (2.0 * half_cells * half_cells)
+        inv_lam = 1.0 / dlam
+
+        kc = jnp.cos(ang) * inv_lam
+        ks = jnp.sin(ang) * inv_lam
+        ox = kc * sdx + ks * sdy
+        oy = kc * sdy - ks * sdx
+        wm = jnp.where(
+            dmask, jnp.exp(dexp * (ox * ox + oy * oy)) * f["mag"], 0.0)
+        rel = jnp.mod(f["theta"] - ang, _TWO_PI)
+        if use_vlfeat:
+            fb = rel * (NB_ORI / _TWO_PI)
+        else:
+            fb = jnp.mod(-rel, _TWO_PI) * (NB_ORI / _TWO_PI)
+        ty = oy + half_cells - 0.5
+        tx = ox + half_cells - 0.5
+
+        def flat(x):
+            # (wr, wc) -> (1, wr*wc); Mosaic only flattens single
+            # lane-tile rows, so concat per-128-lane tiles.
+            if wc == 128:
+                return x.reshape(1, n)
+            return jnp.concatenate(
+                [x[:, t * 128:(t + 1) * 128].reshape(1, n)
+                 for t in range(wc // 128)], axis=1)
+
+        u = jnp.concatenate(
+            [flat(jnp.maximum(0.0, 1.0 - jnp.abs(ty - c)) * wm)
+             for c in range(NB_HIST)], axis=0)           # (4, N)
+        wx = [jnp.maximum(0.0, 1.0 - jnp.abs(tx - c))
+              for c in range(NB_HIST)]
+        wo = []
+        for o in range(NB_ORI):
+            od = jnp.abs(fb - o)
+            wo.append(jnp.maximum(0.0, 1.0 - jnp.minimum(od, NB_ORI - od)))
+        vmat = jnp.concatenate(
+            [flat(wx[c] * wo[o]) for c in range(NB_HIST)
+             for o in range(NB_ORI)], axis=0)            # (32, N)
+        # Explicit bf16 operands = single MXU pass; accumulation stays f32.
+        # Per-element rel err ~4e-3 averages out over the ~1e3 contributing
+        # pixels — well under one u8 descriptor bin after quantization.
+        acc = jax.lax.dot_general(
+            u.astype(jnp.bfloat16), vmat.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (4, 32)
+        desc_ref[0] = acc
+
+    return kernel
+
+
+def descriptor_tpu(gauss4: jax.Array, count: jax.Array, addr: jax.Array,
+                   meta: jax.Array, *, geom: _KernelGeom,
+                   use_vlfeat: bool) -> jax.Array:
+    """Raw (unnormalized) descriptors (capp, 4, 32) for ``count`` pairs.
+    Rows at index >= count are UNWRITTEN garbage; callers must mask."""
+    capp = addr.shape[0]
+    if capp % 8:
+        pad = 8 - capp % 8
+        addr = jnp.pad(addr, (0, pad))
+        meta = jnp.pad(meta, ((0, pad), (0, 0), (0, 0)))
+    capp_p = addr.shape[0]
+    kernel = _make_desc_kernel(geom, capp_p, use_vlfeat)
+    count = jnp.asarray(count, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(count,),
+        in_specs=[
+            pl.BlockSpec((8, 1, 16), lambda i, *s: (i // 8, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, NB_HIST, NB_HIST * NB_ORI),
+                               lambda i, *s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_N_BUF, geom.wr, geom.wc), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_BUF,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((capp_p, NB_HIST, NB_HIST * NB_ORI),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+    )(count.reshape(1), addr, meta, gauss4)
+    return out[:capp]
+
+
+# ---------------------------------------------------------------------------
 # Whole-pyramid atlas orchestration
 # ---------------------------------------------------------------------------
 
-def _sigma_split(config: SiftConfig) -> float:
-    """subpix_s threshold splitting keypoints into small/large-window sets."""
-    return (config.nb_scales_per_octave + 1) / 2.0
-
-
 def kernel_window_rows(config: SiftConfig) -> Tuple[int, int]:
-    """(small, large) kernel window row counts (edge + <=7 alignment slack,
-    rounded to the f32 sublane tile)."""
-    s = config.nb_scales_per_octave
-    sig_small = config.seed_scale_sigma * 2.0 ** (_sigma_split(config) / s)
-    sig_large = config.seed_scale_sigma * 2.0 ** ((s + 1) / s)
-    return tuple(_round_up(desc_window_edge(sm) + 7, 8)
-                 for sm in (sig_small, sig_large))
+    """(small, large) DESCRIPTOR window row counts."""
+    return (_window_rows(desc_window_edge(
+                _sigma_max(config, _sigma_split(config)))),
+            _window_rows(desc_window_edge(
+                _sigma_max(config, config.nb_scales_per_octave + 1))))
+
+
+def min_octave_rows(config: SiftConfig) -> int:
+    return max(kernel_window_rows(config))
+
+
+def _window_start(center, r1, align, lim):
+    """Aligned window start covering [center-r1, center+r1], clamped."""
+    return jnp.clip(((center - r1) // align) * align, 0, lim)
 
 
 def run_atlas(gaussians, refined_list, rank_select_fn, *,
               config: SiftConfig, oct_res, caps, capacity: int):
-    """Back half for ALL octaves with TWO pallas_calls total.
+    """Back half for ALL octaves: one histogram kernel + two descriptor
+    kernels (small/large sigma) over a whole-pyramid atlas.
 
     Octave gaussian stacks are packed vertically into one atlas image (per
-    layer); keypoints from every octave run through one dynamic-grid kernel
-    per sigma set. Window reads may spill into neighboring octave bands —
-    the per-keypoint band bounds mask those pixels out.
-
-    Args:
-      gaussians: per-octave (S+3, oh, ow) stacks.
-      refined_list: per-octave extract.RefinedKeypoints at caps[o].
-      oct_res: per-octave (ow, oh); caps: per-octave capacities.
-      capacity: final packed feature capacity (max_nb_sift_per_buffer).
+    layer); keypoints from every octave run through dynamic-grid kernels
+    whose step counts equal the live counts. Window reads may spill into
+    neighboring octave bands — per-keypoint band bounds mask them out.
 
     Returns (fields dict at ``capacity``, count, per_octave_counts i32[O],
     lost i32[]).
@@ -485,86 +505,89 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     k_ow = ow_arr[oct_id]
     k_oh = oh_arr[oct_id]
 
-    sig_oct = config.seed_scale_sigma * jnp.exp2(subpix_s / s)
+    sig_oct = jnp.maximum(
+        config.seed_scale_sigma * jnp.exp2(subpix_s / s), 1e-6)
     cx = jnp.clip(jnp.round(scale_x), 0, k_ow).astype(jnp.int32)
     cy = (jnp.clip(jnp.round(scale_y), 0, k_oh).astype(jnp.int32) + k_off)
-    layer = jnp.clip(scale_idx, 0, nb_layers - 1)
-    ylo = k_off + 1
-    yhi = k_off + k_oh - 2
-    xhi = k_ow - 2
+    layer = jnp.clip(scale_idx, 0, nb_layers - 1).astype(jnp.int32)
+    ylo = (k_off + 1).astype(jnp.float32)
+    yhi = (k_off + k_oh - 2).astype(jnp.float32)
+    xhi = (k_ow - 2).astype(jnp.float32)
     sy_at = scale_y + k_off.astype(jnp.float32)
 
-    split = _sigma_split(config)
-    wrs = kernel_window_rows(config)
-    sig_small = config.seed_scale_sigma * 2.0 ** (split / s)
-    sig_large = config.seed_scale_sigma * 2.0 ** ((s + 1) / s)
-    edges = [desc_window_edge(sm) for sm in (sig_small, sig_large)]
+    def meta_cols(idx, extra=None):
+        cols = [scale_x[idx], sy_at[idx], sig_oct[idx],
+                cx[idx].astype(jnp.float32), cy[idx].astype(jnp.float32),
+                ylo[idx], yhi[idx], xhi[idx]]
+        width = 8
+        if extra is not None:
+            cols.append(extra)
+            cols += [jnp.zeros_like(extra)] * 7
+            width = 16
+        return jnp.stack([c.astype(jnp.float32) for c in cols],
+                         -1).reshape(-1, 1, width)
 
-    # Per-set capacity: enough for the worst case split.
-    set_cap = total_cap
-    outs = []
-    kidxs = []
-    kcnts = []
-    for b in range(2):
-        wr = wrs[b]
-        r1 = (edges[b] - 1) // 2
-        # Small-sigma set: edge+63 <= 128 with 64-lane shift copies.
-        # Large-sigma set: needs 2 lane tiles (edge 91 + residual 63 > 128).
-        wc = 128 if edges[b] + 63 <= 128 else 256
-        geom = _KernelGeom(wr=wr, wc=wc, h8=h_atlas, w32=w_atlas, h=0, w=0)
-        sel = valid & ((subpix_s <= split) if b == 0 else (subpix_s > split))
-        kidx, kcnt = rank_select_fn(sel, set_cap)
-        bcx = cx[kidx]
-        bcy = cy[kidx]
-        ys = jnp.clip(((bcy - r1) // 8) * 8, 0, h_atlas - wr)
-        # 64-aligned window start; keep the aligned DMA base within bounds.
-        ss = jnp.clip(((bcx - r1) // 64) * 64, 0, w_atlas - (wc - 64))
+    def addr_for(idx, r1, wc):
+        bcx = cx[idx]
+        bcy = cy[idx]
+        ys = _window_start(bcy, r1, 8, h_atlas - 8)
+        ss = _window_start(bcx, r1, 64, w_atlas - (wc - 64))
         cidx_ = (ss % 128) // 64
         ax = ss - 64 * cidx_
-        addr = pack_addr(cidx_, layer[kidx], ys, ax)
-        meta = jnp.stack([
-            scale_x[kidx].astype(jnp.float32),
-            sy_at[kidx].astype(jnp.float32),
-            jnp.maximum(sig_oct[kidx], 1e-6).astype(jnp.float32),
-            bcx.astype(jnp.float32),
-            bcy.astype(jnp.float32),
-            ylo[kidx].astype(jnp.float32),
-            yhi[kidx].astype(jnp.float32),
-            xhi[kidx].astype(jnp.float32),
-        ], axis=-1).reshape(set_cap, 1, 8)
-        out = orientation_descriptor_tpu(
-            g4, kcnt, addr, meta,
-            geom=geom, ori_cap=ori_cap, use_vlfeat=use_vlfeat)
-        outs.append(out)
-        kidxs.append(kidx)
-        kcnts.append(kcnt)
+        return pack_addr(cidx_, layer[idx], ys, ax)
 
-    kidx_all = jnp.concatenate(kidxs)
-    in_cnt = jnp.concatenate([jnp.arange(set_cap) < c for c in kcnts])
-    peak = jnp.concatenate([o.peak for o in outs])
-    angles = jnp.concatenate([o.angles for o in outs])
+    # --- K1: orientation histograms for ALL valid keypoints --------------
+    sig_max_all = _sigma_max(config, s + 1)
+    ori_edge = ori_window_edge(sig_max_all)
+    ori_geom = _KernelGeom(wr=_window_rows(ori_edge), wc=128,
+                           h8=h_atlas, w32=w_atlas)
+    kidx, kcnt = rank_select_fn(valid, total_cap)
+    hist = orientation_hist_tpu(
+        g4, kcnt, addr_for(kidx, (ori_edge - 1) // 2, 128),
+        meta_cols(kidx), geom=ori_geom)
 
-    pvalid = ((peak > 0.0) & in_cnt[:, None]).reshape(-1)
+    # --- peaks (vectorized XLA; tiny per-keypoint vectors are op-issue
+    # bound inside a per-keypoint kernel) ---------------------------------
+    from .orientation import peaks_from_histograms
+    in_cnt = jnp.arange(total_cap) < kcnt
+    hist = jnp.where(in_cnt[:, None], hist, 0.0)
+    ori = peaks_from_histograms(hist, ori_cap)
+    angles = ori.angles                                   # (cap, ori_cap)
+    pvalid = (ori.valid & in_cnt[:, None]).reshape(-1)
+
     pair_total = jnp.sum(pvalid, dtype=jnp.int32)
     count = jnp.minimum(pair_total, capacity)
     lost = pair_total - count
     pidx, _ = rank_select_fn(pvalid, capacity)
-    parent = kidx_all[pidx // ori_cap]
+    parent = kidx[pidx // ori_cap]                        # original kp slots
     angle = angles.reshape(-1)[pidx]
-    # Gather descriptors from each set's output separately — concatenating
-    # the two capacity-sized raw buffers first would copy ~0.5 GB of mostly
-    # garbage rows through HBM.
-    nrows = set_cap * ori_cap
+
+    # --- K2: descriptors per pair, split by sigma bucket ------------------
+    split = _sigma_split(config)
+    wrs = kernel_window_rows(config)
+    edges = [desc_window_edge(_sigma_max(config, split)),
+             desc_window_edge(_sigma_max(config, s + 1))]
+    pair_small = subpix_s[parent] <= split
+    pair_live = jnp.arange(capacity) < count
+
     d128 = NB_HIST * NB_HIST * NB_ORI
-    in_small = pidx < nrows
-    d_small = outs[0].desc_raw.reshape(nrows, d128)[
-        jnp.minimum(pidx, nrows - 1)]
-    d_large = outs[1].desc_raw.reshape(nrows, d128)[
-        jnp.maximum(pidx - nrows, 0)]
+    desc_raw = jnp.zeros((capacity, d128), jnp.float32)
+    for b in range(2):
+        wc = 128 if edges[b] + 63 <= 128 else 256
+        geom = _KernelGeom(wr=wrs[b], wc=wc, h8=h_atlas, w32=w_atlas)
+        sel = pair_live & (pair_small if b == 0 else ~pair_small)
+        sidx, scnt = rank_select_fn(sel, capacity)
+        p_parent = parent[sidx]
+        raw = descriptor_tpu(
+            g4, scnt, addr_for(p_parent, (edges[b] - 1) // 2, wc),
+            meta_cols(p_parent, extra=angle[sidx]),
+            geom=geom, use_vlfeat=use_vlfeat).reshape(capacity, d128)
+        live_b = (jnp.arange(capacity) < scnt)[:, None]
+        desc_raw = desc_raw.at[sidx].add(jnp.where(live_b, raw, 0.0))
+
     from .descriptor import normalize_descriptor
-    desc_u8 = normalize_descriptor(
-        jnp.where(in_small[:, None], d_small, d_large))
-    in_count = jnp.arange(capacity) < count
+    desc_u8 = normalize_descriptor(desc_raw)
+    in_count = pair_live
 
     # Per-octave counts (diagnostics parity: per-section counters).
     pair_oct = oct_id[parent]

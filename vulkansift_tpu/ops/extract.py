@@ -264,15 +264,23 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
     """
     d = dog.astype(jnp.float32)
     ns, h, w = d.shape
-    hi, wi = h - 2, w - 2
 
     if code is None:
         code = _dense_walk_code(dog)
-    code_flat = code.reshape(-1)  # int8: 1 byte/cell in HBM
+    # Two layouts: interior (S, H-2, W-2) indexed [s-1, y-1, x-1] (the XLA
+    # dense path) or full-width (S, HR, WP) indexed [s-1, y-1, x] (the
+    # Pallas frontend, ops/pallas_frontend; may carry a candidate bit).
+    full_width = code.shape[-1] >= w
+    chr_, cwr = code.shape[1], code.shape[2]
+    code_flat = code.reshape(-1)  # 1 byte/cell in HBM
 
     def code_at(rs, ry, rx):
-        idx = ((rs - 1) * hi + (ry - 1)) * wi + (rx - 1)
-        return _gather_flat(code_flat, idx).astype(jnp.int32)
+        if full_width:
+            idx = ((rs - 1) * chr_ + (ry - 1)) * cwr + rx
+        else:
+            idx = ((rs - 1) * chr_ + (ry - 1)) * cwr + (rx - 1)
+        c = _gather_flat(code_flat, idx).astype(jnp.int32)
+        return jax.lax.rem(c, 128)  # strip any candidate bit
 
     # --- 5-step walk over the dense code field -------------------------
     def step(carry, step_i):

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from .config import DescriptorFormat, SiftConfig
 from .ops import extract, patches as patches_mod, scale_space
-from .ops import pallas_backhalf
+from .ops import pallas_backhalf, pallas_frontend
 from .ops.descriptor import compute_descriptors
 from .ops.orientation import compute_orientations
 from .ops.patches import PatchSet, gather_patches
@@ -141,8 +141,16 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
         for o, (ow, oh) in enumerate(oct_res):
             cap_o = caps[o]
             octave_idx = o - (1 if cfg.use_input_upsampling else 0)
-            cand, code = extract.dense_frontend(
-                dogs[o], cfg.dog_threshold, cap_o)
+            # Width cap: the dense kernel holds ~27 row-block neighbor
+            # arrays in VMEM; beyond ~4k lanes they exceed the 16MB budget
+            # (column tiling is a follow-up).
+            if backhalf == "pallas" and 1024 <= ow <= 4096 and oh >= 32:
+                cand, code = pallas_frontend.frontend_tpu(
+                    dogs[o], dog_threshold=cfg.dog_threshold,
+                    capacity=cap_o)
+            else:
+                cand, code = extract.dense_frontend(
+                    dogs[o], cfg.dog_threshold, cap_o)
             refined_list.append(extract.refine_candidates(
                 dogs[o], cand, nb_scales=s, width=ow, height=oh,
                 dog_threshold=cfg.dog_threshold,

@@ -231,3 +231,19 @@ def test_reconstruct_sequence_end_to_end():
         ang = np.degrees(np.arccos(np.clip(
             (np.trace(r_est.T @ r_true) - 1) / 2, -1, 1)))
         assert ang < 1.0, f"pair {i}: {ang} deg rotation error"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from vulkansift_tpu.sfm import (Reconstruction, load_reconstruction,
+                                    save_reconstruction)
+    rng = np.random.default_rng(8)
+    rec = Reconstruction(poses=rng.random((4, 6)).astype(np.float32),
+                         points=rng.random((50, 3)).astype(np.float32),
+                         point_valid=rng.random(50) > 0.5,
+                         initial_cost=10.0, final_cost=0.1)
+    save_reconstruction(str(tmp_path / "ckpt"), rec)
+    rec2 = load_reconstruction(str(tmp_path / "ckpt"))
+    np.testing.assert_array_equal(rec2.poses, rec.poses)
+    np.testing.assert_array_equal(rec2.points, rec.points)
+    np.testing.assert_array_equal(rec2.point_valid, rec.point_valid)
+    assert rec2.final_cost == rec.final_cost

@@ -105,7 +105,7 @@ def _backhalf_xla(gaussians_o, refined, *, cfg: SiftConfig, ow: int, oh: int,
 
 def make_detect_fn(config: SiftConfig, width: int, height: int,
                    *, return_pyramid: bool = False,
-                   backhalf: str = "auto"):
+                   backhalf: str = "auto", batched: bool = False):
     """Build the single-program detect function for one static resolution.
 
     Args:
@@ -144,7 +144,8 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
             # Width cap: the dense kernel holds ~27 row-block neighbor
             # arrays in VMEM; beyond ~4k lanes they exceed the 16MB budget
             # (column tiling is a follow-up).
-            if backhalf == "pallas" and 1024 <= ow <= 4096 and oh >= 32:
+            if (backhalf == "pallas" and not batched
+                    and 1024 <= ow <= 4096 and oh >= 32):
                 cand, code = pallas_frontend.frontend_tpu(
                     dogs[o], dog_threshold=cfg.dog_threshold,
                     capacity=cap_o)
@@ -219,7 +220,10 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
 def make_detect_batched(config: SiftConfig, width: int, height: int,
                         backhalf: str = "auto"):
     """Batched multi-image detect: (B, H, W) u8 -> DetectOutput with leading
-    batch dims (BASELINE config #4). Pure vmap of the monolithic program —
-    XLA fuses the batch dimension into the kernels."""
-    detect = make_detect_fn(config, width, height, backhalf=backhalf)
+    batch dims (BASELINE config #4). Pure vmap of the monolithic program.
+    The dense frontend kernel cannot be vmapped (ANY-space operand), so the
+    batched path uses the XLA frontend; the dynamic-grid back-half kernels
+    vmap fine."""
+    detect = make_detect_fn(config, width, height, backhalf=backhalf,
+                            batched=True)
     return jax.vmap(detect)

@@ -9,6 +9,7 @@ from .bundle_adjustment import (BAProblem, BAResult, bundle_adjust,
                                 make_distributed_ba)
 from .pose_graph import PoseGraph, optimize_pose_graph, pose_graph_cost
 from .reconstruction import Reconstruction, reconstruct_sequence
+from .checkpoint import load_reconstruction, save_reconstruction
 
 __all__ = [
     "Camera", "SE3", "decompose_essential", "essential_8pt", "exp_so3",
@@ -16,4 +17,5 @@ __all__ = [
     "triangulate_linear", "BAProblem", "BAResult", "bundle_adjust",
     "make_distributed_ba", "PoseGraph", "optimize_pose_graph",
     "pose_graph_cost", "Reconstruction", "reconstruct_sequence",
+    "load_reconstruction", "save_reconstruction",
 ]

@@ -34,6 +34,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import NB_REFINEMENT_STEPS, SiftConfig
 
@@ -371,3 +372,162 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
         x=subpix_x * scale_factor,
         y=subpix_y * scale_factor,
     )
+
+
+# ---------------------------------------------------------------------------
+# Global (all-octaves) refinement
+# ---------------------------------------------------------------------------
+
+class GlobalRefined(NamedTuple):
+    """refine_candidates output concatenated over octaves, plus octave ids."""
+
+    refined: RefinedKeypoints  # all arrays at sum(caps)
+    oct_id: jax.Array          # i32[sum(caps)]
+
+
+def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
+                             oct_res, dog_threshold: float,
+                             edge_threshold: float, seed_sigma: float,
+                             upsampling: bool) -> GlobalRefined:
+    """One refinement walk for ALL octaves.
+
+    The per-octave walks are gather-latency bound on TPU (each of the
+    5 scan steps issues one gather per octave); concatenating the code
+    fields and DoG volumes into flat buffers with per-candidate base
+    offsets turns 5 x nb_octaves gathers into 5 gathers total.
+
+    Args:
+      dogs: per-octave (S+2, H, W) DoG stacks.
+      cands: per-octave Candidates (capacity caps[o]).
+      codes: per-octave walk-code fields — interior layout (S, H-2, W-2)
+        or the Pallas frontend's full-width layout (S, HR, WP); layouts may
+        be mixed across octaves.
+    """
+    nb_oct = len(oct_res)
+
+    # --- flatten + concat the code fields and DoGs -----------------------
+    code_flat = jnp.concatenate([c.reshape(-1) for c in codes])
+    dog_flat = jnp.concatenate([d.astype(jnp.float32).reshape(-1)
+                                for d in dogs])
+    code_off = []
+    dog_off = []
+    co = do = 0
+    for o in range(nb_oct):
+        code_off.append(co)
+        dog_off.append(do)
+        co += int(np.prod(codes[o].shape))
+        do += dogs[o].shape[0] * dogs[o].shape[1] * dogs[o].shape[2]
+
+    # Per-octave geometry tables.
+    full_width = [codes[o].shape[-1] >= oct_res[o][0] for o in range(nb_oct)]
+    t_chr = jnp.asarray([c.shape[1] for c in codes], jnp.int32)
+    t_cwr = jnp.asarray([c.shape[2] for c in codes], jnp.int32)
+    t_fw = jnp.asarray([1 if f else 0 for f in full_width], jnp.int32)
+    t_coff = jnp.asarray(code_off, jnp.int32)
+    t_doff = jnp.asarray(dog_off, jnp.int32)
+    t_w = jnp.asarray([w for w, _ in oct_res], jnp.int32)
+    t_h = jnp.asarray([h for _, h in oct_res], jnp.int32)
+
+    # --- global candidate arrays -----------------------------------------
+    oct_id = jnp.concatenate([jnp.full((cands[o].s.shape[0],), o, jnp.int32)
+                              for o in range(nb_oct)])
+    s0 = jnp.concatenate([c.s for c in cands])
+    y0 = jnp.concatenate([c.y for c in cands])
+    x0 = jnp.concatenate([c.x for c in cands])
+    in_count = jnp.concatenate([jnp.arange(c.s.shape[0]) < c.count
+                                for c in cands])
+    k = s0.shape[0]
+
+    g_chr = t_chr[oct_id]
+    g_cwr = t_cwr[oct_id]
+    g_fw = t_fw[oct_id]
+    g_coff = t_coff[oct_id]
+    g_doff = t_doff[oct_id]
+    g_w = t_w[oct_id]
+    g_h = t_h[oct_id]
+
+    def code_at(rs, ry, rx):
+        rxs = jnp.where(g_fw == 1, rx, rx - 1)
+        idx = g_coff + ((rs - 1) * g_chr + (ry - 1)) * g_cwr + rxs
+        c = _gather_flat(code_flat, idx).astype(jnp.int32)
+        return jax.lax.rem(c, 128)
+
+    def step(carry, step_i):
+        rs, ry, rx, valid, done = carry
+        c = code_at(rs, ry, rx)
+        sing = (c // _CODE_SING) % 2 == 1
+        conv = (c // _CODE_CONV) % 2 == 1
+        active = valid & jnp.logical_not(done)
+        valid = jnp.where(active & sing, False, valid)
+        act2 = active & jnp.logical_not(sing)
+        done = jnp.where(act2 & conv, True, done)
+        may_move = act2 & jnp.logical_not(conv) & (
+            step_i < NB_REFINEMENT_STEPS - 1)
+        ms = c % 3 - 1
+        mx = (c // 3) % 3 - 1
+        my = (c // 9) % 3 - 1
+        mx = jnp.where((mx > 0) & (rx < g_w - 2), mx,
+                       jnp.where((mx < 0) & (rx > 1), mx, 0))
+        my = jnp.where((my > 0) & (ry < g_h - 2), my,
+                       jnp.where((my < 0) & (ry > 1), my, 0))
+        ms = jnp.where((ms > 0) & (rs < nb_scales), ms,
+                       jnp.where((ms < 0) & (rs > 1), ms, 0))
+        rx = jnp.where(may_move, rx + mx, rx)
+        ry = jnp.where(may_move, ry + my, ry)
+        rs = jnp.where(may_move, rs + ms, rs)
+        return (rs, ry, rx, valid, done), None
+
+    init = (s0, y0, x0, jnp.ones((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_))
+    (rs, ry, rx, valid, _), _ = jax.lax.scan(
+        step, init, jnp.arange(NB_REFINEMENT_STEPS))
+
+    # --- final Newton solve + acceptance tests at the stop cell ----------
+    base = g_doff + (rs * g_h + ry) * g_w + rx
+    nb = {}
+    for a in (0, 1, 2):
+        for b in (0, 1, 2):
+            for c in (0, 1, 2):
+                off = ((a - 1) * g_h + (b - 1)) * g_w + (c - 1)
+                nb[(a, b, c)] = _gather_flat(dog_flat, base + off)
+    off_s, off_x, off_y, g_s, g_x, g_y, singular = _newton_step(
+        *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
+          for c in (0, 1, 2)])
+    valid &= jnp.logical_not(singular)
+
+    subpix_x = rx.astype(jnp.float32) + off_x
+    subpix_y = ry.astype(jnp.float32) + off_y
+    subpix_s = rs.astype(jnp.float32) + off_s
+
+    ctr = nb[(1, 1, 1)]
+    new_val = ctr + 0.5 * (g_x * off_x + g_y * off_y + g_s * off_s)
+
+    wf = g_w.astype(jnp.float32)
+    hf = g_h.astype(jnp.float32)
+    ok = valid
+    ok &= jnp.abs(new_val) > dog_threshold
+    ok &= ((jnp.abs(off_x) < 1.5) & (jnp.abs(off_y) < 1.5)
+           & (jnp.abs(off_s) < 1.5))
+    ok &= (subpix_x >= 0) & (subpix_x < wf)
+    ok &= (subpix_y >= 0) & (subpix_y < hf)
+    ok &= (subpix_s >= 0) & (subpix_s <= nb_scales + 1)
+
+    h11 = nb[(1, 1, 2)] + nb[(1, 1, 0)] - 2.0 * ctr
+    h22 = nb[(1, 2, 1)] + nb[(1, 0, 1)] - 2.0 * ctr
+    h12 = 0.25 * (nb[(1, 2, 2)] - nb[(1, 0, 2)] - nb[(1, 2, 0)]
+                  + nb[(1, 0, 0)])
+    det2 = h11 * h22 - h12 * h12
+    edgeness = jnp.where(det2 == 0.0, jnp.inf,
+                         (h11 + h22) ** 2 / jnp.where(det2 == 0.0, 1.0, det2))
+    e = edge_threshold
+    ok &= (edgeness < ((e + 1.0) ** 2 / e)) & (edgeness >= 0)
+    ok &= in_count
+
+    octave_idx = oct_id - (1 if upsampling else 0)
+    scale_factor = jnp.exp2(octave_idx.astype(jnp.float32))
+    sigma = seed_sigma * jnp.exp2(subpix_s / nb_scales) * scale_factor
+    refined = RefinedKeypoints(
+        valid=ok, scale_x=subpix_x, scale_y=subpix_y, subpix_s=subpix_s,
+        scale_idx=jnp.round(subpix_s).astype(jnp.int32),
+        sigma=sigma, intensity=new_val,
+        x=subpix_x * scale_factor, y=subpix_y * scale_factor)
+    return GlobalRefined(refined=refined, oct_id=oct_id)

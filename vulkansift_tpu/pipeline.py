@@ -137,10 +137,10 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
         img = image_u8.astype(jnp.float32) * (1.0 / 255.0)
         gaussians, dogs = scale_space.build_pyramid(img, cfg, oct_shapes)
 
-        refined_list = []
+        cands = []
+        codes = []
         for o, (ow, oh) in enumerate(oct_res):
             cap_o = caps[o]
-            octave_idx = o - (1 if cfg.use_input_upsampling else 0)
             # Width cap: the dense kernel holds ~27 row-block neighbor
             # arrays in VMEM; beyond ~4k lanes they exceed the 16MB budget
             # (column tiling is a follow-up).
@@ -152,12 +152,32 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
             else:
                 cand, code = extract.dense_frontend(
                     dogs[o], cfg.dog_threshold, cap_o)
-            refined_list.append(extract.refine_candidates(
-                dogs[o], cand, nb_scales=s, width=ow, height=oh,
+            cands.append(cand)
+            codes.append(code)
+
+        total_cells = sum((h * w) for (h, w) in oct_shapes) * (s + 2)
+        if backhalf == "pallas" and total_cells <= 16_000_000:
+            # One walk for all octaves: the per-octave scans are
+            # gather-latency bound (5 gathers x nb_octaves -> 5 gathers).
+            # Only worth it when the flat code/DoG concats are small; for
+            # large pyramids the copies outweigh the saved op overhead.
+            gref = extract.refine_candidates_global(
+                dogs, cands, codes, nb_scales=s, oct_res=oct_res,
                 dog_threshold=cfg.dog_threshold,
                 edge_threshold=cfg.edge_threshold,
-                seed_sigma=cfg.seed_scale_sigma, octave_idx=octave_idx,
-                code=code))
+                seed_sigma=cfg.seed_scale_sigma,
+                upsampling=cfg.use_input_upsampling)
+            refined_list = [gref.refined]
+        else:
+            refined_list = []
+            for o, (ow, oh) in enumerate(oct_res):
+                octave_idx = o - (1 if cfg.use_input_upsampling else 0)
+                refined_list.append(extract.refine_candidates(
+                    dogs[o], cands[o], nb_scales=s, width=ow, height=oh,
+                    dog_threshold=cfg.dog_threshold,
+                    edge_threshold=cfg.edge_threshold,
+                    seed_sigma=cfg.seed_scale_sigma, octave_idx=octave_idx,
+                    code=codes[o]))
 
         if backhalf == "pallas":
             # Whole-pyramid fused back half (2 pallas_calls total).

@@ -16,12 +16,20 @@ throughput: dispatch BATCH detections back-to-back (alternating buffers),
 sync once per batch, and ALSO print the single-image latency (incl. one
 host sync) in the unit string for transparency.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Robustness: round 1's driver run died with a transient FAILED_PRECONDITION
+TPU-backend error on the very first device sync and recorded nothing
+(BENCH_r01.json rc=1). The reference harness never loses a run that way
+(perf_runtime.cpp:63-85 — plain loop). So every device interaction here
+runs under retry-with-backoff: on failure we rebuild the jitted function
+(fresh executable, fresh backend handles) and try again; and the JSON line
+is ALWAYS printed, from whatever subset of measurements succeeded.
 """
 
 import json
 import os
+import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -30,6 +38,7 @@ W, H = 1536, 1024
 WARMUP = int(os.environ.get("BENCH_WARMUP", "5"))
 BATCHES = int(os.environ.get("BENCH_BATCHES", "12"))
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+RETRIES = int(os.environ.get("BENCH_RETRIES", "4"))
 
 
 def _bench_image(h, w, seed=0):
@@ -52,6 +61,39 @@ def _bench_image(h, w, seed=0):
     return (255 * img / img.max()).astype(np.uint8)
 
 
+def _emit(fps, dt_ms, lat_ms, n, note=""):
+    baseline_fps = 1e3 / BASELINE_MS
+    unit = (f"frames/s pipelined ({dt_ms:.2f} ms/frame; "
+            f"single-image latency {lat_ms:.1f} ms incl. ~26 ms tunnel "
+            f"round-trip; {n} feats; ref RTX2060 {BASELINE_MS} ms)")
+    if note:
+        unit += f"; {note}"
+    print(json.dumps({
+        "metric": "sift_detect_fps_1536x1024",
+        "value": round(fps, 2),
+        "unit": unit,
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+    sys.stdout.flush()
+
+
+def _retry(fn, what, retries=RETRIES, on_reset=None):
+    """Run fn() with retry-with-backoff; on_reset() rebuilds state between
+    attempts (e.g. re-jit after a backend FAILED_PRECONDITION crash)."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception:  # noqa: BLE001
+            if attempt == retries:
+                raise
+            print(f"# bench: {what} failed (attempt {attempt + 1}/"
+                  f"{retries + 1}); retrying", file=sys.stderr)
+            traceback.print_exc(limit=2, file=sys.stderr)
+            time.sleep(1.5 * (attempt + 1))
+            if on_reset is not None:
+                on_reset()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -63,43 +105,73 @@ def main():
                      max_nb_sift_per_buffer=32768,
                      sift_buffer_count=2,
                      input_image_max_size=W * H)
-    detect = jax.jit(make_detect_fn(cfg, W, H))
+
+    state = {}
+
+    def build():
+        state["detect"] = jax.jit(make_detect_fn(cfg, W, H))
+
+    build()
     imgs = [jnp.asarray(_bench_image(H, W, seed=s)) for s in range(2)]
 
-    out = detect(imgs[0])
-    n = int(out.features.count)  # compile + sync
+    # First compile + sync — the round-1 crash site; retried with rebuild.
+    n = _retry(lambda: int(state["detect"](imgs[0]).features.count),
+               "first compile+sync", on_reset=build)
 
-    # Single-image latency (incl. one host sync round-trip).
-    for _ in range(WARMUP):
-        int(detect(imgs[0]).features.count)
-    t0 = time.perf_counter()
-    lat_iters = 10
-    for _ in range(lat_iters):
-        int(detect(imgs[0]).features.count)
-    lat_ms = (time.perf_counter() - t0) / lat_iters * 1e3
+    lat_ms = float("nan")
+    try:
+        def measure_latency():
+            for _ in range(WARMUP):
+                int(state["detect"](imgs[0]).features.count)
+            t0 = time.perf_counter()
+            lat_iters = 10
+            for _ in range(lat_iters):
+                int(state["detect"](imgs[0]).features.count)
+            return (time.perf_counter() - t0) / lat_iters * 1e3
+
+        lat_ms = _retry(measure_latency, "latency measurement",
+                        on_reset=build)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc(limit=2, file=sys.stderr)
 
     # Pipelined throughput (multi-buffer contract): dispatch BATCH detects,
     # sync once per batch on the counts.
-    for _ in range(WARMUP):
-        outs = [detect(imgs[i % 2]) for i in range(BATCH)]
-        jax.device_get([o.features.count for o in outs])
-    t0 = time.perf_counter()
-    for _ in range(BATCHES):
-        outs = [detect(imgs[i % 2]) for i in range(BATCH)]
-        jax.device_get([o.features.count for o in outs])
-    dt = (time.perf_counter() - t0) / (BATCHES * BATCH)
+    def measure_pipelined():
+        detect = state["detect"]
+        for _ in range(WARMUP):
+            outs = [detect(imgs[i % 2]) for i in range(BATCH)]
+            jax.device_get([o.features.count for o in outs])
+        t0 = time.perf_counter()
+        for _ in range(BATCHES):
+            outs = [detect(imgs[i % 2]) for i in range(BATCH)]
+            jax.device_get([o.features.count for o in outs])
+        return (time.perf_counter() - t0) / (BATCHES * BATCH)
 
-    fps = 1.0 / dt
-    baseline_fps = 1e3 / BASELINE_MS
-    print(json.dumps({
-        "metric": "sift_detect_fps_1536x1024",
-        "value": round(fps, 2),
-        "unit": f"frames/s pipelined ({dt * 1e3:.2f} ms/frame; "
-                f"single-image latency {lat_ms:.1f} ms incl. ~26 ms tunnel "
-                f"round-trip; {n} feats; ref RTX2060 {BASELINE_MS} ms)",
-        "vs_baseline": round(fps / baseline_fps, 3),
-    }))
+    try:
+        dt = _retry(measure_pipelined, "pipelined measurement",
+                    on_reset=build)
+        _emit(1.0 / dt, dt * 1e3, lat_ms, n)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc(limit=2, file=sys.stderr)
+        if np.isfinite(lat_ms):
+            # Fall back to the sequential number rather than recording
+            # nothing (latency includes one tunnel round-trip per frame).
+            _emit(1e3 / lat_ms, lat_ms, lat_ms, n,
+                  note="pipelined path failed; sequential fallback")
+        else:
+            raise
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # noqa: BLE001
+        # Absolute last resort: never exit without the JSON line.
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "sift_detect_fps_1536x1024",
+            "value": 0.0,
+            "unit": "frames/s (benchmark failed; see stderr)",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(0)

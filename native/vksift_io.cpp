@@ -266,8 +266,30 @@ VKSIFT_IO_API void* vksift_load_features(const char* path,
     fclose(f);
     return nullptr;
   }
+  // Validate the on-disk count against the remaining file size before
+  // allocating: a corrupt/truncated header must produce a clean error,
+  // not a huge unchecked malloc + fread into it.
+  long data_start = ftell(f);
+  if (data_start < 0 || fseek(f, 0, SEEK_END) != 0) {
+    fclose(f);
+    return nullptr;
+  }
+  long file_end = ftell(f);
+  if (file_end < data_start ||
+      static_cast<uint64_t>(file_end - data_start) !=
+          static_cast<uint64_t>(header[1]) * kFeatSize ||
+      fseek(f, data_start, SEEK_SET) != 0) {
+    fclose(f);
+    return nullptr;
+  }
   *nb_features = header[1];
-  void* out = malloc(static_cast<size_t>(header[1]) * kFeatSize);
+  // malloc(0) may legally return nullptr; keep empty files loadable.
+  void* out = malloc(header[1] ? static_cast<size_t>(header[1]) * kFeatSize
+                               : 1);
+  if (!out) {
+    fclose(f);
+    return nullptr;
+  }
   if (header[1] && fread(out, kFeatSize, header[1], f) != header[1]) {
     free(out);
     fclose(f);

@@ -1,0 +1,119 @@
+"""Microbenchmark the Pallas back-half kernels in isolation on the TPU.
+
+Times orientation_hist_tpu and descriptor_tpu per-keypoint cost with
+synthetic keypoints spread over a realistic atlas, using the two-point
+method (see stagebench.py). Usage: python scripts/kernelbench.py [n_kp]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, k=10):
+    out = fn()
+    jax.tree.leaves(out)[0].block_until_ready()
+    _ = int(np.asarray(jax.tree.leaves(out)[0]).ravel()[0] * 0 + 1)
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn()
+        _ = np.asarray(jax.tree.leaves(o)[0]).ravel()[:1]
+        return time.perf_counter() - t0
+
+    run(2)
+    t1 = run(k)
+    t2 = run(2 * k)
+    return (t2 - t1) / k * 1e3
+
+
+def main():
+    n_kp = int(sys.argv[1]) if len(sys.argv) > 1 else 4992
+
+    from vulkansift_tpu import SiftConfig
+    from vulkansift_tpu.ops import pallas_backhalf as pb
+
+    cfg = SiftConfig(max_nb_sift_per_buffer=32768)
+    s = cfg.nb_scales_per_octave
+
+    # Synthetic atlas ~ 1536x1024 with upsampling: octave0 3072x2048.
+    h_atlas, w_atlas = 3072 + 1536 + 768 + 384 + 200, 3072
+    h_atlas = ((h_atlas + 7) // 8) * 8
+    L = s + 2
+    rng = np.random.default_rng(0)
+    atlas = jnp.asarray(rng.random((L, h_atlas, w_atlas), np.float32))
+    g4 = jax.jit(pb.make_shifted_copies)(atlas)
+    g4.block_until_ready()
+
+    # Synthetic keypoints: uniform over the big band, sigma distribution
+    # concentrated at low scales like real detections.
+    cap = ((n_kp + 7) // 8) * 8
+    ys = rng.integers(8, 3000, cap)
+    xs = rng.integers(8, 2040, cap)
+    layer = rng.integers(1, L, cap)
+    subs = np.abs(rng.normal(1.2, 0.8, cap)) % (s + 1)
+    sig = cfg.seed_scale_sigma * 2.0 ** (subs / s)
+    ang = rng.random(cap).astype(np.float32) * 6.28
+
+    def mk_meta(extra=None):
+        cols = [xs.astype(np.float32), ys.astype(np.float32),
+                sig.astype(np.float32),
+                xs.astype(np.float32), ys.astype(np.float32),
+                np.full(cap, 1.0, np.float32),
+                np.full(cap, h_atlas - 2.0, np.float32),
+                np.full(cap, w_atlas - 2.0, np.float32)]
+        width = 8
+        if extra is not None:
+            cols.append(extra)
+            cols += [np.zeros(cap, np.float32)] * 7
+            width = 16
+        return jnp.asarray(np.stack(cols, -1).reshape(cap, 1, width))
+
+    def mk_addr(r1, wr, wc):
+        ys_w = np.clip(((ys - r1) // 8) * 8, 0, h_atlas - wr)
+        ss = np.clip(((xs - r1) // 64) * 64, 0, w_atlas - (wc - 64))
+        cidx = (ss % 128) // 64
+        ax = ss - 64 * cidx
+        return jnp.asarray(
+            (cidx + (layer << 2) + ((ys_w // 8) << 5)
+             + ((ax // 128) << 16)).astype(np.int32))
+
+    count = jnp.int32(n_kp)
+
+    # K1 orientation
+    ori_edge = pb.ori_window_edge(pb._sigma_max(cfg, s + 1))
+    ori_geom = pb._KernelGeom(wr=pb._window_rows(ori_edge), wc=128,
+                              h8=h_atlas, w32=w_atlas)
+    addr1 = mk_addr((ori_edge - 1) // 2, ori_geom.wr, 128)
+    meta1 = mk_meta()
+    f1 = jax.jit(lambda: pb.orientation_hist_tpu(
+        g4, count, addr1, meta1, geom=ori_geom))
+    ms = timed(f1)
+    print(f"K1 hist   : {ms:7.2f} ms total, {ms / n_kp * 1e3:6.2f} us/kp "
+          f"(wr={ori_geom.wr}, wc=128)")
+
+    # K2 descriptor, both buckets
+    wrs = pb.kernel_window_rows(cfg)
+    edges = [pb.desc_window_edge(pb._sigma_max(cfg, pb._sigma_split(cfg))),
+             pb.desc_window_edge(pb._sigma_max(cfg, s + 1))]
+    for b in range(2):
+        wc = 128 if edges[b] + 63 <= 128 else 256
+        geom = pb._KernelGeom(wr=wrs[b], wc=wc, h8=h_atlas, w32=w_atlas)
+        addr2 = mk_addr((edges[b] - 1) // 2, wrs[b], wc)
+        meta2 = mk_meta(extra=ang)
+        f2 = jax.jit(lambda a=addr2, m=meta2, g=geom: pb.descriptor_tpu(
+            g4, count, a, m, geom=g, use_vlfeat=False))
+        ms = timed(f2)
+        print(f"K2 desc b{b}: {ms:7.2f} ms total, {ms / n_kp * 1e3:6.2f} "
+              f"us/kp (wr={geom.wr}, wc={geom.wc})")
+
+
+if __name__ == "__main__":
+    main()

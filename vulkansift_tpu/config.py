@@ -111,6 +111,12 @@ class SiftConfig:
     # image re-creation on preallocated memory, sift_memory.c:891-924).
     # 1 = compile per exact resolution.
     resolution_bucket: int = 1
+    # Max distinct compiled (width, height) pipeline executables kept per
+    # instance (LRU). The reference bounds allocations at creation via
+    # input_image_max_size; under XLA each distinct padded resolution is a
+    # compiled program, so long-lived instances fed varied resolutions need
+    # a bound too.
+    detect_cache_size: int = 8
 
     # ------------------------------------------------------------------
     def validate(self) -> None:
@@ -149,6 +155,8 @@ class SiftConfig:
         check(isinstance(self.descriptor_format, DescriptorFormat),
               "invalid descriptor format specified")
         check(self.resolution_bucket >= 1, "resolution bucket must be >= 1")
+        check(self.detect_cache_size >= 1,
+              "detect cache size must be >= 1")
 
     # ------------------------------------------------------------------
     @property

@@ -44,6 +44,7 @@ mirroring the reference's error-callback dispatch (vulkansift.c:31-45).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -56,7 +57,7 @@ from .config import SiftConfig, get_default_config
 from .detector import SiftDetector
 from .pipeline import make_detect_fn
 from .errors import DeviceError, InvalidInputError, Result
-from .ops.match import match_2nn
+from .ops.match import match_2nn, match_2nn_auto
 from .types import (FEATURE_DTYPE, Features, Matches2NN, features_from_numpy,
                     features_to_numpy, matches_to_numpy)
 from .utils.logging import logger
@@ -156,12 +157,16 @@ class SiftInstance:
         self.device = devices[idx] if idx >= 0 else devices[0]
         # Monolithic jitted pipeline, cached per input resolution (the
         # staged SiftDetector remains available for host-visible debugging).
-        self._detect_cache = {}
+        # Bounded LRU: each entry is a compiled XLA executable
+        # (config.detect_cache_size; resolution_bucket reduces distinct
+        # keys in the first place).
+        self._detect_cache = collections.OrderedDict()
         self._buffers: List[_BufferState] = [
             _BufferState(features=Features.empty(config.max_nb_sift_per_buffer))
             for _ in range(config.sift_buffer_count)]
         self._matches: Optional[Matches2NN] = None
-        self._matches_count: int = 0
+        self._matches_count: Optional[int] = 0
+        self._matches_src = None
         self._closed = False
 
     # -- lifecycle ------------------------------------------------------
@@ -219,10 +224,15 @@ class SiftInstance:
         key = (width, height)
         try:
             with jax.default_device(self.device):
-                if key not in self._detect_cache:
+                if key in self._detect_cache:
+                    self._detect_cache.move_to_end(key)
+                else:
                     self._detect_cache[key] = jax.jit(make_detect_fn(
                         self.config, width, height,
                         return_pyramid=self.config.retain_pyramid))
+                    while (len(self._detect_cache)
+                           > self.config.detect_cache_size):
+                        self._detect_cache.popitem(last=False)
                 if self.config.retain_pyramid:
                     out, gauss, dogs = self._detect_cache[key](image)
                 else:
@@ -246,22 +256,25 @@ class SiftInstance:
     # -- matching -------------------------------------------------------
     def match_features(self, buffer_id_a: int, buffer_id_b: int) -> None:
         """2-NN match buffer A's features against buffer B's
-        (parity: vksift_matchFeatures, vulkansift.c:417-441)."""
+        (parity: vksift_matchFeatures, vulkansift.c:417-441).
+
+        Fully async: no host round-trip between detect and match dispatch —
+        the live counts stay device-resident and the matcher's bucketed
+        dispatch (ops.match.match_2nn_auto) scales compute with them, the
+        analogue of the reference reading counters from mapped memory
+        before recording the dispatch (sift_memory.c:957-1047)."""
         buf_a = self._check_buffer(buffer_id_a)
         buf_b = self._check_buffer(buffer_id_b)
-        buf_a.sync_counts(logger)
-        buf_b.sync_counts(logger)
-        na = max(self._round_up(buf_a.count), 64)
-        desc_a = buf_a.features.descriptor[:na]
         try:
             with jax.default_device(self.device):
-                self._matches = match_2nn(
-                    desc_a, buf_a.features.count,
+                self._matches = match_2nn_auto(
+                    buf_a.features.descriptor, buf_a.features.count,
                     buf_b.features.descriptor, buf_b.features.count)
         except Exception as e:  # noqa: BLE001
             self._dispatch_error(Result.DEVICE_ERROR)
             raise DeviceError("matching pipeline failure") from e
-        self._matches_count = buf_a.count
+        self._matches_src = buf_a
+        self._matches_count = None
 
     @staticmethod
     def _round_up(n: int) -> int:
@@ -302,9 +315,23 @@ class SiftInstance:
         buf.per_octave_counts = ()
         buf.gaussians = buf.dogs = None
 
-    def get_matches_number(self) -> int:
-        """Parity: vksift_getMatchesNumber."""
+    def _sync_matches_count(self) -> int:
+        if self._matches_count is None:
+            src = getattr(self, "_matches_src", None)
+            if src is not None:
+                src.sync_counts(logger)
+                self._matches_count = src.count
+            elif self._matches is not None:
+                self._matches_count = int(
+                    jax.device_get(self._matches.count))
+            else:
+                self._matches_count = 0
         return self._matches_count
+
+    def get_matches_number(self) -> int:
+        """Parity: vksift_getMatchesNumber — blocks until the async match
+        count is host-visible (first call only)."""
+        return self._sync_matches_count()
 
     def download_matches(self) -> np.ndarray:
         """Blocking download of vksift_Match_2NN-layout matches
@@ -312,7 +339,7 @@ class SiftInstance:
         if self._matches is None:
             self._dispatch_error(Result.INVALID_INPUT_ERROR)
             raise InvalidInputError("no matches computed yet")
-        return matches_to_numpy(self._matches, self._matches_count)
+        return matches_to_numpy(self._matches, self._sync_matches_count())
 
     def is_buffer_available(self, buffer_id: int) -> bool:
         """Non-blocking poll: True when no async device work on the buffer

@@ -146,6 +146,95 @@ def match_2nn(desc_a: jax.Array, count_a: jax.Array, desc_b: jax.Array,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "min_bucket"))
+def match_2nn_auto(desc_a: jax.Array, count_a: jax.Array,
+                   desc_b: jax.Array, count_b: jax.Array, *,
+                   tile: int = 2048,
+                   min_bucket: int = 2048) -> Matches2NN:
+    """2-NN matching whose device work scales with the LIVE counts.
+
+    ``match_2nn`` computes over the full static capacities, so callers had
+    to host-sync the counts and slice before dispatch (one ~26 ms tunnel
+    round-trip each on this environment). This variant keeps everything on
+    device — the analogue of the reference reading counters from *mapped*
+    memory at ~zero cost before recording the dispatch
+    (sift_matcher.c:408-414, dispatch ceil(nb_A/64) workgroups):
+
+    * A rows: a ``lax.switch`` over power-of-two size buckets — every
+      bucket's matmul is compiled once, the branch matching ``count_a``
+      executes, so compute scales with the bucketed live count.
+    * B columns: a ``lax.while_loop`` over tiles with a data-dependent
+      trip count ``ceil(count_b / tile)``.
+
+    Results are bit-identical to ``match_2nn`` for rows < count_a (same
+    tile order, same associative lexicographic merge).
+    """
+    na, d = desc_a.shape
+    nb = desc_b.shape[0]
+    with jax.named_scope("Matching"):
+        pad_b = (-nb) % tile
+        if pad_b:
+            desc_b = jnp.concatenate(
+                [desc_b, jnp.zeros((pad_b, d), desc_b.dtype)], axis=0)
+        b16 = desc_b.astype(jnp.bfloat16)
+        b_sq = jnp.sum(jnp.square(desc_b.astype(jnp.float32)), axis=1)
+        a16_full = desc_a.astype(jnp.bfloat16)
+        asq_full = jnp.sum(jnp.square(desc_a.astype(jnp.float32)), axis=1)
+        nsteps_live = jax.lax.div(count_b + (tile - 1), tile)
+
+        def match_k(k: int):
+            def run():
+                a16 = jax.lax.dynamic_slice(a16_full, (0, 0), (k, d))
+                a_sq = jax.lax.dynamic_slice(asq_full, (0,), (k,))
+
+                def cond(state):
+                    return state[0] < nsteps_live
+
+                def body(state):
+                    step, carry = state
+                    offset = step * tile
+                    b_t = jax.lax.dynamic_slice(
+                        b16, (offset, 0), (tile, d))
+                    bsq_t = jax.lax.dynamic_slice(b_sq, (offset,), (tile,))
+                    dots = jax.lax.dot_general(
+                        a16, b_t.T, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    d2 = a_sq[:, None] + bsq_t[None, :] - 2.0 * dots
+                    col = offset + jnp.arange(tile)[None, :]
+                    d2 = jnp.where(col < count_b, d2, _INF)
+                    t = _top2_of_tile(d2, offset)
+                    return step + 1, _merge_top2(carry, t)
+
+                init = (jnp.full((k,), _INF), jnp.zeros((k,), jnp.int32),
+                        jnp.full((k,), _INF), jnp.zeros((k,), jnp.int32))
+                _, (d1, i1, d2_, i2) = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), init))
+                pad = na - k
+                return tuple(jnp.pad(x, (0, pad)) for x in (d1, i1, d2_, i2))
+            return run
+
+        ks = []
+        k = min(min_bucket, na)
+        while k < na:
+            ks.append(k)
+            k *= 2
+        ks.append(na)
+        # Branch index: smallest bucket >= count_a.
+        idx = jnp.sum(jnp.asarray(
+            [count_a > kk for kk in ks[:-1]], jnp.int32)) \
+            if len(ks) > 1 else jnp.int32(0)
+        d1, i1, d2_, i2 = jax.lax.switch(idx, [match_k(kk) for kk in ks])
+
+        d1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+        d2_ = jnp.sqrt(jnp.maximum(d2_, 0.0))
+        return Matches2NN(
+            idx_a=jnp.arange(na, dtype=jnp.int32),
+            idx_b1=i1, idx_b2=i2,
+            dist_a_b1=d1, dist_a_b2=d2_,
+            count=count_a.astype(jnp.int32),
+        )
+
+
 def lowe_ratio_mask(m: Matches2NN, ratio: float = 0.75) -> jax.Array:
     """Lowe ratio-test mask (harness parity: src/perf/perf_matching.cpp:5,
     test_sift_match.cpp:90-107): keep matches with d1 < ratio * d2."""

@@ -467,23 +467,31 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     nb_oct = len(oct_res)
 
     # --- build the atlas: octave bands stacked vertically ---------------
-    w_atlas = _round_up(max(128, max(ow for ow, _ in oct_res)), 128)
-    band_off = []
-    rows = 0
-    for ow, oh in oct_res:
-        band_off.append(rows)
-        rows += _round_up(oh, 8)
-    h_atlas = _round_up(rows, 8)
-    bands = []
-    for o, (ow, oh) in enumerate(oct_res):
-        g = gaussians[o][:nb_layers].astype(jnp.float32)
-        bands.append(jnp.pad(g, ((0, 0), (0, _round_up(oh, 8) - oh),
-                                 (0, w_atlas - ow))))
-    atlas = jnp.concatenate(bands, axis=1)
-    if atlas.shape[1] != h_atlas:
-        atlas = jnp.pad(atlas, ((0, 0), (0, h_atlas - atlas.shape[1]),
-                                (0, 0)))
-    g4 = make_shifted_copies(atlas)
+    with jax.named_scope("AtlasBuild"):
+        w_atlas = _round_up(max(128, max(ow for ow, _ in oct_res)), 128)
+        band_off = []
+        rows = 0
+        for ow, oh in oct_res:
+            band_off.append(rows)
+            rows += _round_up(oh, 8)
+        # The atlas must hold at least one full window of the largest
+        # kernel so the per-kernel clamp in addr_for keeps every DMA in
+        # bounds (window reads spilling past the bottom would be
+        # unspecified OOB HBM reads).
+        max_wr = max(
+            _window_rows(ori_window_edge(_sigma_max(config, s + 1))),
+            max(kernel_window_rows(config)))
+        h_atlas = _round_up(max(rows, max_wr), 8)
+        bands = []
+        for o, (ow, oh) in enumerate(oct_res):
+            g = gaussians[o][:nb_layers].astype(jnp.float32)
+            bands.append(jnp.pad(g, ((0, 0), (0, _round_up(oh, 8) - oh),
+                                     (0, w_atlas - ow))))
+        atlas = jnp.concatenate(bands, axis=1)
+        if atlas.shape[1] != h_atlas:
+            atlas = jnp.pad(atlas, ((0, 0), (0, h_atlas - atlas.shape[1]),
+                                    (0, 0)))
+        g4 = make_shifted_copies(atlas)
 
     # --- global keypoint arrays (concat over octaves) --------------------
     def cat(field):
@@ -527,40 +535,46 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         return jnp.stack([c.astype(jnp.float32) for c in cols],
                          -1).reshape(-1, 1, width)
 
-    def addr_for(idx, r1, wc):
+    def addr_for(idx, r1, wr, wc):
+        # Row clamp is per-kernel (h_atlas - wr): a window starting there
+        # still covers the keypoint's rows (band bottoms are < h_atlas and
+        # the interior mask drops out-of-band rows), and the DMA never
+        # reads past the atlas bottom (ADVICE round 1, medium).
         bcx = cx[idx]
         bcy = cy[idx]
-        ys = _window_start(bcy, r1, 8, h_atlas - 8)
+        ys = _window_start(bcy, r1, 8, h_atlas - wr)
         ss = _window_start(bcx, r1, 64, w_atlas - (wc - 64))
         cidx_ = (ss % 128) // 64
         ax = ss - 64 * cidx_
         return pack_addr(cidx_, layer[idx], ys, ax)
 
     # --- K1: orientation histograms for ALL valid keypoints --------------
-    sig_max_all = _sigma_max(config, s + 1)
-    ori_edge = ori_window_edge(sig_max_all)
-    ori_geom = _KernelGeom(wr=_window_rows(ori_edge), wc=128,
-                           h8=h_atlas, w32=w_atlas)
-    kidx, kcnt = rank_select_fn(valid, total_cap)
-    hist = orientation_hist_tpu(
-        g4, kcnt, addr_for(kidx, (ori_edge - 1) // 2, 128),
-        meta_cols(kidx), geom=ori_geom)
+    with jax.named_scope("ComputeOrientation"):
+        sig_max_all = _sigma_max(config, s + 1)
+        ori_edge = ori_window_edge(sig_max_all)
+        ori_geom = _KernelGeom(wr=_window_rows(ori_edge), wc=128,
+                               h8=h_atlas, w32=w_atlas)
+        kidx, kcnt = rank_select_fn(valid, total_cap)
+        hist = orientation_hist_tpu(
+            g4, kcnt,
+            addr_for(kidx, (ori_edge - 1) // 2, ori_geom.wr, 128),
+            meta_cols(kidx), geom=ori_geom)
 
-    # --- peaks (vectorized XLA; tiny per-keypoint vectors are op-issue
-    # bound inside a per-keypoint kernel) ---------------------------------
-    from .orientation import peaks_from_histograms
-    in_cnt = jnp.arange(total_cap) < kcnt
-    hist = jnp.where(in_cnt[:, None], hist, 0.0)
-    ori = peaks_from_histograms(hist, ori_cap)
-    angles = ori.angles                                   # (cap, ori_cap)
-    pvalid = (ori.valid & in_cnt[:, None]).reshape(-1)
+        # peaks (vectorized XLA; tiny per-keypoint vectors are op-issue
+        # bound inside a per-keypoint kernel)
+        from .orientation import peaks_from_histograms
+        in_cnt = jnp.arange(total_cap) < kcnt
+        hist = jnp.where(in_cnt[:, None], hist, 0.0)
+        ori = peaks_from_histograms(hist, ori_cap)
+        angles = ori.angles                               # (cap, ori_cap)
+        pvalid = (ori.valid & in_cnt[:, None]).reshape(-1)
 
-    pair_total = jnp.sum(pvalid, dtype=jnp.int32)
-    count = jnp.minimum(pair_total, capacity)
-    lost = pair_total - count
-    pidx, _ = rank_select_fn(pvalid, capacity)
-    parent = kidx[pidx // ori_cap]                        # original kp slots
-    angle = angles.reshape(-1)[pidx]
+        pair_total = jnp.sum(pvalid, dtype=jnp.int32)
+        count = jnp.minimum(pair_total, capacity)
+        lost = pair_total - count
+        pidx, _ = rank_select_fn(pvalid, capacity)
+        parent = kidx[pidx // ori_cap]                    # original kp slots
+        angle = angles.reshape(-1)[pidx]
 
     # --- K2: descriptors per pair, split by sigma bucket ------------------
     split = _sigma_split(config)
@@ -571,46 +585,50 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     pair_live = jnp.arange(capacity) < count
 
     d128 = NB_HIST * NB_HIST * NB_ORI
-    desc_raw = jnp.zeros((capacity, d128), jnp.float32)
-    for b in range(2):
-        wc = 128 if edges[b] + 63 <= 128 else 256
-        geom = _KernelGeom(wr=wrs[b], wc=wc, h8=h_atlas, w32=w_atlas)
-        sel = pair_live & (pair_small if b == 0 else ~pair_small)
-        sidx, scnt = rank_select_fn(sel, capacity)
-        p_parent = parent[sidx]
-        raw = descriptor_tpu(
-            g4, scnt, addr_for(p_parent, (edges[b] - 1) // 2, wc),
-            meta_cols(p_parent, extra=angle[sidx]),
-            geom=geom, use_vlfeat=use_vlfeat).reshape(capacity, d128)
-        live_b = (jnp.arange(capacity) < scnt)[:, None]
-        desc_raw = desc_raw.at[sidx].add(jnp.where(live_b, raw, 0.0))
+    with jax.named_scope("ComputeDescriptors"):
+        desc_raw = jnp.zeros((capacity, d128), jnp.float32)
+        for b in range(2):
+            wc = 128 if edges[b] + 63 <= 128 else 256
+            geom = _KernelGeom(wr=wrs[b], wc=wc, h8=h_atlas, w32=w_atlas)
+            sel = pair_live & (pair_small if b == 0 else ~pair_small)
+            sidx, scnt = rank_select_fn(sel, capacity)
+            p_parent = parent[sidx]
+            raw = descriptor_tpu(
+                g4, scnt,
+                addr_for(p_parent, (edges[b] - 1) // 2, wrs[b], wc),
+                meta_cols(p_parent, extra=angle[sidx]),
+                geom=geom, use_vlfeat=use_vlfeat).reshape(capacity, d128)
+            live_b = (jnp.arange(capacity) < scnt)[:, None]
+            desc_raw = desc_raw.at[sidx].add(jnp.where(live_b, raw, 0.0))
 
-    from .descriptor import normalize_descriptor
-    desc_u8 = normalize_descriptor(desc_raw)
+        from .descriptor import normalize_descriptor
+        desc_u8 = normalize_descriptor(desc_raw)
     in_count = pair_live
 
-    # Per-octave counts (diagnostics parity: per-section counters).
-    pair_oct = oct_id[parent]
-    per_octave = jnp.stack([
-        jnp.sum(jnp.where(in_count & (pair_oct == o), 1, 0))
-        for o in range(nb_oct)])
+    # Per-octave counts (diagnostics parity: per-section counters) + final
+    # feature packing ("CopySiftCount"/pack analogue).
+    with jax.named_scope("PackFeatures"):
+        pair_oct = oct_id[parent]
+        per_octave = jnp.stack([
+            jnp.sum(jnp.where(in_count & (pair_oct == o), 1, 0))
+            for o in range(nb_oct)])
 
-    def g_at(field):
-        return cat(field)[parent]
+        def g_at(field):
+            return cat(field)[parent]
 
-    def msk(a):
-        m = in_count if a.ndim == 1 else in_count[:, None]
-        return jnp.where(m, a, jnp.zeros_like(a))
+        def msk(a):
+            m = in_count if a.ndim == 1 else in_count[:, None]
+            return jnp.where(m, a, jnp.zeros_like(a))
 
-    fields = dict(
-        x=msk(g_at("x")), y=msk(g_at("y")),
-        scale_x=msk(g_at("scale_x")), scale_y=msk(g_at("scale_y")),
-        scale_idx=msk(g_at("scale_idx")),
-        octave_idx=msk(pair_oct
-                       - (1 if config.use_input_upsampling else 0)),
-        sigma=msk(g_at("sigma")),
-        orientation=msk(angle),
-        intensity=msk(g_at("intensity")),
-        descriptor=msk(desc_u8),
-    )
+        fields = dict(
+            x=msk(g_at("x")), y=msk(g_at("y")),
+            scale_x=msk(g_at("scale_x")), scale_y=msk(g_at("scale_y")),
+            scale_idx=msk(g_at("scale_idx")),
+            octave_idx=msk(pair_oct
+                           - (1 if config.use_input_upsampling else 0)),
+            sigma=msk(g_at("sigma")),
+            orientation=msk(angle),
+            intensity=msk(g_at("intensity")),
+            descriptor=msk(desc_u8),
+        )
     return fields, count, per_octave, lost

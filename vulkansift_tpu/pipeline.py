@@ -25,8 +25,9 @@ Two back-half (orientation+descriptor) implementations:
 * ``backhalf="pallas"`` — fused TPU kernel
   (:mod:`.ops.pallas_backhalf`): one window DMA per keypoint, grid steps
   self-skip beyond the live count, so compute scales with the *actual*
-  keypoint count like the reference's indirect dispatch. Octaves too small
-  for the kernel windows fall back to the XLA path.
+  keypoint count like the reference's indirect dispatch. Small octaves are
+  handled in-kernel: the atlas is padded to at least one full kernel
+  window and per-keypoint band bounds mask out-of-band rows.
 * ``backhalf="auto"`` (default) — pallas on TPU backends, xla elsewhere.
 
 Batch/data parallelism: :func:`make_detect_fn` returns a pure function, so
@@ -134,50 +135,56 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
         backhalf = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def detect(image_u8: jax.Array):
-        img = image_u8.astype(jnp.float32) * (1.0 / 255.0)
-        gaussians, dogs = scale_space.build_pyramid(img, cfg, oct_shapes)
+        # jax.named_scope = the reference's per-stage debug-marker regions
+        # (sift_detector.c:29-50): names land in the HLO metadata, so XProf
+        # device traces attribute time to pipeline stages.
+        with jax.named_scope("ScaleSpace"):
+            img = image_u8.astype(jnp.float32) * (1.0 / 255.0)
+            gaussians, dogs = scale_space.build_pyramid(img, cfg, oct_shapes)
 
-        cands = []
-        codes = []
-        for o, (ow, oh) in enumerate(oct_res):
-            cap_o = caps[o]
-            # Width cap: the dense kernel holds ~27 row-block neighbor
-            # arrays in VMEM; beyond ~4k lanes they exceed the 16MB budget
-            # (column tiling is a follow-up).
-            if (backhalf == "pallas" and not batched
-                    and 1024 <= ow <= 4096 and oh >= 32):
-                cand, code = pallas_frontend.frontend_tpu(
-                    dogs[o], dog_threshold=cfg.dog_threshold,
-                    capacity=cap_o)
-            else:
-                cand, code = extract.dense_frontend(
-                    dogs[o], cfg.dog_threshold, cap_o)
-            cands.append(cand)
-            codes.append(code)
-
-        total_cells = sum((h * w) for (h, w) in oct_shapes) * (s + 2)
-        if backhalf == "pallas" and total_cells <= 16_000_000:
-            # One walk for all octaves: the per-octave scans are
-            # gather-latency bound (5 gathers x nb_octaves -> 5 gathers).
-            # Only worth it when the flat code/DoG concats are small; for
-            # large pyramids the copies outweigh the saved op overhead.
-            gref = extract.refine_candidates_global(
-                dogs, cands, codes, nb_scales=s, oct_res=oct_res,
-                dog_threshold=cfg.dog_threshold,
-                edge_threshold=cfg.edge_threshold,
-                seed_sigma=cfg.seed_scale_sigma,
-                upsampling=cfg.use_input_upsampling)
-            refined_list = [gref.refined]
-        else:
-            refined_list = []
+        with jax.named_scope("ExtractKeypoints"):
+            cands = []
+            codes = []
             for o, (ow, oh) in enumerate(oct_res):
-                octave_idx = o - (1 if cfg.use_input_upsampling else 0)
-                refined_list.append(extract.refine_candidates(
-                    dogs[o], cands[o], nb_scales=s, width=ow, height=oh,
+                cap_o = caps[o]
+                # Width cap: the dense kernel holds ~27 row-block neighbor
+                # arrays in VMEM; beyond ~4k lanes they exceed the 16MB
+                # budget (column tiling is a follow-up).
+                if (backhalf == "pallas" and not batched
+                        and 1024 <= ow <= 4096 and oh >= 32):
+                    cand, code = pallas_frontend.frontend_tpu(
+                        dogs[o], dog_threshold=cfg.dog_threshold,
+                        capacity=cap_o)
+                else:
+                    cand, code = extract.dense_frontend(
+                        dogs[o], cfg.dog_threshold, cap_o)
+                cands.append(cand)
+                codes.append(code)
+
+            total_cells = sum((h * w) for (h, w) in oct_shapes) * (s + 2)
+            if backhalf == "pallas" and total_cells <= 16_000_000:
+                # One walk for all octaves: the per-octave scans are
+                # gather-latency bound (5 gathers x nb_octaves -> 5
+                # gathers). Only worth it when the flat code/DoG concats
+                # are small; for large pyramids the copies outweigh the
+                # saved op overhead.
+                gref = extract.refine_candidates_global(
+                    dogs, cands, codes, nb_scales=s, oct_res=oct_res,
                     dog_threshold=cfg.dog_threshold,
                     edge_threshold=cfg.edge_threshold,
-                    seed_sigma=cfg.seed_scale_sigma, octave_idx=octave_idx,
-                    code=codes[o]))
+                    seed_sigma=cfg.seed_scale_sigma,
+                    upsampling=cfg.use_input_upsampling)
+                refined_list = [gref.refined]
+            else:
+                refined_list = []
+                for o, (ow, oh) in enumerate(oct_res):
+                    octave_idx = o - (1 if cfg.use_input_upsampling else 0)
+                    refined_list.append(extract.refine_candidates(
+                        dogs[o], cands[o], nb_scales=s, width=ow,
+                        height=oh, dog_threshold=cfg.dog_threshold,
+                        edge_threshold=cfg.edge_threshold,
+                        seed_sigma=cfg.seed_scale_sigma,
+                        octave_idx=octave_idx, code=codes[o]))
 
         if backhalf == "pallas":
             # Whole-pyramid fused back half (2 pallas_calls total).

@@ -3,9 +3,10 @@
 The reference's only persistence surface is the feature round-trip
 (vksift_download/uploadFeatures); feature files are handled by the native
 IO runtime (utils/native_io.py). The NEW SfM state (poses, landmarks,
-optimizer metadata) checkpoints through orbax when available, with a
-plain-npz fallback — both produce a single self-contained directory/file
-that :func:`load_reconstruction` restores exactly.
+costs) checkpoints as a self-contained directory (npz arrays + json
+metadata) that :func:`load_reconstruction` restores exactly. The arrays
+are tiny (poses + points), so a plain npz is the whole design — no
+checkpointing framework needed.
 """
 
 from __future__ import annotations

@@ -111,13 +111,19 @@ def _read_pnm_python(path: str) -> np.ndarray:
     magic, w, h, maxval = (tokens[0], int(tokens[1]), int(tokens[2]),
                            int(tokens[3]))
     body = data[i + 1:]
+    # Binary samples are 2-byte big-endian when maxval > 255 (matching the
+    # native decoder); reading 1 byte/sample there would silently return a
+    # wrong image (ADVICE round 1).
+    wide = maxval > 255
+    sdt = np.dtype(">u2") if wide else np.uint8
+    nb = 2 if wide else 1
     if magic == b"P5":
-        img = np.frombuffer(body[:w * h], np.uint8).reshape(h, w)
+        img = np.frombuffer(body[:w * h * nb], sdt).reshape(h, w)
+        img = img.astype(np.uint32)
     elif magic == b"P6":
-        rgb = np.frombuffer(body[:w * h * 3], np.uint8).reshape(h, w, 3)
+        rgb = np.frombuffer(body[:w * h * 3 * nb], sdt).reshape(h, w, 3)
         img = ((299 * rgb[..., 0].astype(np.uint32)
-                + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
-               ).astype(np.uint8)
+                + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000)
     elif magic in (b"P2", b"P3"):
         vals = np.array(body.split(), np.uint32)
         if magic == b"P2":
@@ -129,8 +135,9 @@ def _read_pnm_python(path: str) -> np.ndarray:
         img = (img * 255 // maxval).astype(np.uint8)
     else:
         raise IOError(f"unsupported PNM magic {magic!r} in {path}")
-    return (img.astype(np.uint32) * 255 // maxval).astype(np.uint8) \
-        if magic in (b"P5", b"P6") and maxval != 255 else img.astype(np.uint8)
+    if magic in (b"P5", b"P6") and maxval != 255:
+        img = img.astype(np.uint32) * 255 // maxval
+    return img.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ synthetic keypoints spread over a realistic atlas, using the two-point
 method (see stagebench.py). Usage: python scripts/kernelbench.py [n_kp]
 """
 
+import functools
 import sys
 import time
 
@@ -15,22 +16,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, k=10):
-    out = fn()
-    jax.tree.leaves(out)[0].block_until_ready()
+def timed(fn, args, k=10):
+    out = fn(*args)
     _ = int(np.asarray(jax.tree.leaves(out)[0]).ravel()[0] * 0 + 1)
 
     def run(n):
         t0 = time.perf_counter()
         o = None
         for _ in range(n):
-            o = fn()
+            o = fn(*args)
         _ = np.asarray(jax.tree.leaves(o)[0]).ravel()[:1]
         return time.perf_counter() - t0
 
     run(2)
-    t1 = run(k)
-    t2 = run(2 * k)
+    t1 = min(run(k) for _ in range(2))
+    t2 = min(run(2 * k) for _ in range(2))
     return (t2 - t1) / k * 1e3
 
 
@@ -48,9 +48,12 @@ def main():
     h_atlas = ((h_atlas + 7) // 8) * 8
     L = s + 2
     rng = np.random.default_rng(0)
-    atlas = jnp.asarray(rng.random((L, h_atlas, w_atlas), np.float32))
-    g4 = jax.jit(pb.make_shifted_copies)(atlas)
-    g4.block_until_ready()
+    # Generate on device: shipping a ~370 MB host array through the axon
+    # tunnel takes many minutes (transfers are ~MB/s scale).
+    g4 = jax.jit(lambda k: pb.make_shifted_copies(jax.random.uniform(
+        k, (L, h_atlas, w_atlas), jnp.float32)))(jax.random.key(0))
+    _ = float(g4[0, 0, 0, 0])
+    print("atlas ready", flush=True)
 
     # Synthetic keypoints: uniform over the big band, sigma distribution
     # concentrated at low scales like real detections.
@@ -77,10 +80,11 @@ def main():
         return jnp.asarray(np.stack(cols, -1).reshape(cap, 1, width))
 
     def mk_addr(r1, wr, wc):
+        sh = pb._SHIFT
         ys_w = np.clip(((ys - r1) // 8) * 8, 0, h_atlas - wr)
-        ss = np.clip(((xs - r1) // 64) * 64, 0, w_atlas - (wc - 64))
-        cidx = (ss % 128) // 64
-        ax = ss - 64 * cidx
+        ss = np.clip(((xs - r1) // sh) * sh, 0, w_atlas - (wc - sh))
+        cidx = (ss % 128) // sh
+        ax = ss - sh * cidx
         return jnp.asarray(
             (cidx + (layer << 2) + ((ys_w // 8) << 5)
              + ((ax // 128) << 16)).astype(np.int32))
@@ -93,26 +97,24 @@ def main():
                               h8=h_atlas, w32=w_atlas)
     addr1 = mk_addr((ori_edge - 1) // 2, ori_geom.wr, 128)
     meta1 = mk_meta()
-    f1 = jax.jit(lambda: pb.orientation_hist_tpu(
-        g4, count, addr1, meta1, geom=ori_geom))
-    ms = timed(f1)
+    f1 = jax.jit(functools.partial(pb.orientation_hist_tpu, geom=ori_geom))
+    ms = timed(f1, (g4, count, addr1, meta1))
     print(f"K1 hist   : {ms:7.2f} ms total, {ms / n_kp * 1e3:6.2f} us/kp "
-          f"(wr={ori_geom.wr}, wc=128)")
+          f"(wr={ori_geom.wr}, wc=128)", flush=True)
 
-    # K2 descriptor, both buckets
+    # K2 descriptor, all sigma buckets
     wrs = pb.kernel_window_rows(cfg)
-    edges = [pb.desc_window_edge(pb._sigma_max(cfg, pb._sigma_split(cfg))),
-             pb.desc_window_edge(pb._sigma_max(cfg, s + 1))]
-    for b in range(2):
-        wc = 128 if edges[b] + 63 <= 128 else 256
+    edges = pb.desc_bucket_edges(cfg)
+    for b in range(len(edges)):
+        wc = 128 if edges[b] + pb._SHIFT - 1 <= 128 else 256
         geom = pb._KernelGeom(wr=wrs[b], wc=wc, h8=h_atlas, w32=w_atlas)
         addr2 = mk_addr((edges[b] - 1) // 2, wrs[b], wc)
         meta2 = mk_meta(extra=ang)
-        f2 = jax.jit(lambda a=addr2, m=meta2, g=geom: pb.descriptor_tpu(
-            g4, count, a, m, geom=g, use_vlfeat=False))
-        ms = timed(f2)
+        f2 = jax.jit(functools.partial(pb.descriptor_tpu, geom=geom,
+                                       use_vlfeat=False))
+        ms = timed(f2, (g4, count, addr2, meta2))
         print(f"K2 desc b{b}: {ms:7.2f} ms total, {ms / n_kp * 1e3:6.2f} "
-              f"us/kp (wr={geom.wr}, wc={geom.wc})")
+              f"us/kp (wr={geom.wr}, wc={geom.wc})", flush=True)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,32 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Smoke tier: `python -m pytest -m smoke` runs a <60 s cross-section (one or
+# more fast tests per subsystem). Curated centrally here (durations measured
+# on this machine) instead of scattering marks across files.
+# ---------------------------------------------------------------------------
+
+_SMOKE_MODULES = {"test_config", "test_native_io", "test_match"}
+_SMOKE_TESTS = {
+    "test_refinement_matches_golden",        # extract
+    "test_blur_matches_scipy",               # scale space
+    "test_upsample2x_matches_golden",
+    "test_pyramid_bf16_close_to_f32",
+    "test_se3_compose_inverse",              # sfm math
+    "test_so3_exp_log_roundtrip",
+    "test_triangulation_exact",
+    "test_ring_match_tie_breaking_across_shards",  # multi-chip merge
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
+        if mod in _SMOKE_MODULES or name in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def blob_image():

@@ -2,6 +2,7 @@
 feature/match round-trips (reference: vulkansift.c, test_sift_error_handling
 .cpp semantics)."""
 
+import dataclasses
 import numpy as np
 import pytest
 
@@ -110,3 +111,35 @@ def test_feature_numpy_layout_bit_compat():
     # (reference: include/vulkansift/vulkansift_types.h:17-31).
     assert vs.FEATURE_DTYPE.itemsize == 164
     assert vs.MATCH_DTYPE.itemsize == 20  # 3 u32 + 2 f32
+
+
+def test_resolution_bucketing_bounds_compiles(blob_image):
+    """resolution_bucket > 1: images in the same bucket share one compiled
+    pipeline; detected keypoints stay inside the true image region and
+    roughly agree with exact-resolution detection."""
+    cfg = vs.SiftConfig(use_input_upsampling=False,
+                        max_nb_sift_per_buffer=4096,
+                        sift_buffer_count=2,
+                        input_image_max_size=1 << 22,
+                        resolution_bucket=64)
+    inst = vs.SiftInstance(cfg)
+    img1 = blob_image                       # 480 x 640 -> bucket 512 x 640
+    img2 = blob_image[:452, :610]           # same bucket
+    inst.detect_features(img1, 0)
+    inst.detect_features(img2, 1)
+    assert len(inst._detect_cache) == 1     # one executable for the bucket
+
+    f1 = inst.download_features(0)
+    f2 = inst.download_features(1)
+    assert len(f1) > 20
+    assert float(f1["x"].max()) < 640 and float(f1["y"].max()) < 480
+    assert float(f2["x"].max()) < 610 and float(f2["y"].max()) < 452
+
+    exact = vs.SiftInstance(dataclasses.replace(cfg, resolution_bucket=1))
+    exact.detect_features(img1, 0)
+    fe = exact.download_features(0)
+    # Padding only perturbs detection near the replicated border; interior
+    # content matches, so counts should agree within ~15%.
+    assert abs(len(f1) - len(fe)) <= max(0.15 * len(fe), 8)
+    inst.close()
+    exact.close()

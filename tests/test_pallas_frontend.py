@@ -65,6 +65,29 @@ def test_frontend_capacity_clamp(interpret_mode):
                                   np.asarray(full_c.x)[:cap])
 
 
+def test_frontend_column_tiled_matches_single(interpret_mode):
+    """Column-tiled path (wide images) vs the single-tile kernel: same
+    candidates, same interior walk codes."""
+    dog = _rand_dog((5, 40, 640), seed=4)
+    thr = 0.04 / 3
+    ref_c, ref_code = pf.frontend_tpu(dog, dog_threshold=thr, capacity=2048)
+    new_c, new_code = pf.frontend_tpu(dog, dog_threshold=thr, capacity=2048,
+                                      max_single_w=256, col_tile=256)
+    n_r, n_n = int(ref_c.count), int(new_c.count)
+    assert n_r == n_n and n_r > 0
+
+    def tuples(c, n):
+        return sorted(zip(np.asarray(c.s)[:n].tolist(),
+                          np.asarray(c.y)[:n].tolist(),
+                          np.asarray(c.x)[:n].tolist()))
+
+    assert tuples(ref_c, n_r) == tuples(new_c, n_n)
+    s, h, w = dog.shape
+    rc = np.asarray(ref_code)[:, :h - 2, 1:w - 1].astype(np.int32)
+    nc = np.asarray(new_code)[:, :h - 2, 1:w - 1].astype(np.int32)
+    np.testing.assert_array_equal(rc % 128, nc % 128)
+
+
 def test_refine_accepts_frontend_code(interpret_mode):
     dog = _rand_dog((5, 64, 128), seed=2)
     thr = 0.04 / 3

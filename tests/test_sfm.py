@@ -232,6 +232,28 @@ def test_reconstruct_sequence_end_to_end():
             (np.trace(r_est.T @ r_true) - 1) / 2, -1, 1)))
         assert ang < 1.0, f"pair {i}: {ang} deg rotation error"
 
+    # Trajectory ATE after Sim(3) alignment (BASELINE north star:
+    # "trajectory ATE within bound"). Scene translations are O(1) units;
+    # require the aligned RMSE well under 5% of that.
+    from vulkansift_tpu.sfm import absolute_trajectory_error
+    ate = absolute_trajectory_error(rec.poses, poses_t)
+    assert ate < 0.05, f"ATE {ate}"
+
+
+def test_umeyama_alignment_recovers_sim3():
+    from vulkansift_tpu.sfm import umeyama_alignment
+    rng = np.random.default_rng(11)
+    src = rng.standard_normal((20, 3))
+    ang = 0.7
+    r_true = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    s_true, t_true = 2.5, np.array([1.0, -2.0, 0.5])
+    dst = (s_true * (r_true @ src.T)).T + t_true
+    s, r, t = umeyama_alignment(src, dst)
+    assert abs(s - s_true) < 1e-9
+    np.testing.assert_allclose(r, r_true, atol=1e-9)
+    np.testing.assert_allclose(t, t_true, atol=1e-9)
+
 
 def test_checkpoint_roundtrip(tmp_path):
     from vulkansift_tpu.sfm import (Reconstruction, load_reconstruction,

@@ -217,7 +217,9 @@ class SiftInstance:
             self._dispatch_error(Result.INVALID_INPUT_ERROR)
             raise InvalidInputError("image dimensions must be >= 32")
         b = self.config.resolution_bucket
-        if b > 1 and (width % b or height % b):
+        valid_w, valid_h = width, height
+        bucketed = b > 1
+        if bucketed and (width % b or height % b):
             pw, ph = -width % b, -height % b
             image = np.pad(image, ((0, ph), (0, pw)), mode="edge")
             height, width = image.shape
@@ -229,14 +231,17 @@ class SiftInstance:
                 else:
                     self._detect_cache[key] = jax.jit(make_detect_fn(
                         self.config, width, height,
-                        return_pyramid=self.config.retain_pyramid))
+                        return_pyramid=self.config.retain_pyramid,
+                        bucketed=bucketed))
                     while (len(self._detect_cache)
                            > self.config.detect_cache_size):
                         self._detect_cache.popitem(last=False)
+                args = ((image, jnp.float32(valid_w), jnp.float32(valid_h))
+                        if bucketed else (image,))
                 if self.config.retain_pyramid:
-                    out, gauss, dogs = self._detect_cache[key](image)
+                    out, gauss, dogs = self._detect_cache[key](*args)
                 else:
-                    out = self._detect_cache[key](image)
+                    out = self._detect_cache[key](*args)
                     gauss = dogs = None
         except InvalidInputError:
             raise
@@ -248,8 +253,8 @@ class SiftInstance:
         buf.count = None
         buf.per_octave_counts = out.per_octave_counts
         buf.lost = out.lost
-        buf.input_width = width
-        buf.input_height = height
+        buf.input_width = valid_w
+        buf.input_height = valid_h
         buf.gaussians = gauss
         buf.dogs = dogs
 
@@ -355,8 +360,12 @@ class SiftInstance:
 
     # -- scale-space access (debug/visualization) ------------------------
     def get_scale_space_nb_octaves(self, buffer_id: int = 0) -> int:
-        """Parity: vksift_getScaleSpaceNbOctaves."""
+        """Parity: vksift_getScaleSpaceNbOctaves. Reports the pipeline's
+        actual octave count (under resolution bucketing it can be one less
+        than the exact-resolution count)."""
         buf = self._check_buffer(buffer_id)
+        if buf.gaussians is not None:
+            return len(buf.gaussians)
         if buf.input_width == 0:
             return 0
         return self.config.max_octaves_for(buf.input_width, buf.input_height)
@@ -365,6 +374,12 @@ class SiftInstance:
             self, octave: int, buffer_id: int = 0) -> Tuple[int, int]:
         """Parity: vksift_getScaleSpaceOctaveResolution."""
         buf = self._check_buffer(buffer_id)
+        if buf.gaussians is not None:
+            if not (0 <= octave < len(buf.gaussians)):
+                self._dispatch_error(Result.INVALID_INPUT_ERROR)
+                raise InvalidInputError(f"octave {octave} out of range")
+            g = buf.gaussians[octave]
+            return int(g.shape[2]), int(g.shape[1])
         res = self.config.octave_resolutions(buf.input_width,
                                              buf.input_height)
         if not (0 <= octave < len(res)):

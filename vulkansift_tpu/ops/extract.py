@@ -62,20 +62,37 @@ class RefinedKeypoints(NamedTuple):
     y: jax.Array          # f32[K]
 
 
+_RANK_SCATTER_MAX_N = 1 << 18
+
+
 def rank_select(mask_flat: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
     """Indices of the first ``capacity`` true elements, in order.
 
-    cumsum + searchsorted formulation: position of the k-th true element is
-    the first index where the running count reaches k. Much faster on TPU
-    than jnp.nonzero(size=) (which lowers to a full sort-like pattern).
+    Two formulations, picked by mask size (both measured on v5e; both are
+    far faster than jnp.nonzero(size=), which lowers to a sort-like
+    pattern):
+
+    * small masks (<= ~256k): cumsum + 1-D rank scatter with out-of-range
+      drop — 0.17 ms at n=32k vs 3.8 ms for searchsorted (the binary
+      search issues capacity*log(n) random gathers).
+    * large masks: cumsum + searchsorted (scatter cost scales with n and
+      loses past ~300k).
+
     Returns (indices i32[capacity], true_count i32[] clamped to capacity).
+    Slots beyond the true count are zero-filled.
     """
-    cs = jnp.cumsum(mask_flat.astype(jnp.int32))
+    n = mask_flat.shape[0]
+    mask = mask_flat.astype(jnp.int32)
+    cs = jnp.cumsum(mask)
     count = jnp.minimum(cs[-1], capacity)
+    if n <= _RANK_SCATTER_MAX_N:
+        rank = jnp.where(mask_flat, cs - 1, capacity)  # invalid -> dropped
+        idx = jnp.zeros((capacity,), jnp.int32).at[rank].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        return idx, count
     ranks = jnp.arange(1, capacity + 1, dtype=jnp.int32)
     idx = jnp.searchsorted(cs, ranks, side="left")
-    idx = jnp.clip(idx, 0, mask_flat.shape[0] - 1).astype(jnp.int32)
-    # Zero-fill slots beyond the true count (parity with nonzero fill_value).
+    idx = jnp.clip(idx, 0, n - 1).astype(jnp.int32)
     idx = jnp.where(ranks <= count, idx, 0)
     return idx, count
 
@@ -249,6 +266,27 @@ def _gather_flat(flat: jax.Array, idx: jax.Array) -> jax.Array:
     return flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
 
 
+def _gather_neighborhood(flat: jax.Array, base: jax.Array, stride_layer,
+                         stride_row) -> dict:
+    """27-point (3x3x3) neighborhoods around flat indices ``base``, fetched
+    as 9 contiguous 3-element slices (one lax.gather per (a, b) plane pair
+    via vmapped dynamic_slice) — the x-neighbors are adjacent in memory, so
+    this issues 3x fewer gathers than per-element indexing. Callers
+    guarantee base points at interior cells; the clip only protects dummy
+    slots."""
+    n = flat.shape[0]
+    nb = {}
+    for a in (0, 1, 2):
+        for b in (0, 1, 2):
+            starts = base + (a - 1) * stride_layer + (b - 1) * stride_row - 1
+            starts = jnp.clip(starts, 0, n - 3)
+            row3 = jax.vmap(
+                lambda st: jax.lax.dynamic_slice(flat, (st,), (3,)))(starts)
+            for c in (0, 1, 2):
+                nb[(a, b, c)] = row3[:, c]
+    return nb
+
+
 @functools.partial(jax.jit, static_argnames=(
     "nb_scales", "width", "height", "dog_threshold", "edge_threshold",
     "seed_sigma", "octave_idx"))
@@ -273,6 +311,11 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
     # Pallas frontend, ops/pallas_frontend; may carry a candidate bit).
     full_width = code.shape[-1] >= w
     chr_, cwr = code.shape[1], code.shape[2]
+    # Materialize the dense code field BEFORE the walk scan: without the
+    # barrier XLA fuses the whole dense Newton computation into the while
+    # body and recomputes it every step (~10 ms/octave at octave 0,
+    # observed in traces) instead of gathering from 1 byte/cell in HBM.
+    code = jax.lax.optimization_barrier(code)
     code_flat = code.reshape(-1)  # 1 byte/cell in HBM
 
     def code_at(rs, ry, rx):
@@ -311,20 +354,21 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
         return (rs, ry, rx, valid, done), None
 
     k = cand.s.shape[0]
-    init = (cand.s, cand.y, cand.x,
-            jnp.ones((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_))
-    (rs, ry, rx, valid, _), _ = jax.lax.scan(
-        step, init, jnp.arange(NB_REFINEMENT_STEPS))
+    carry = (cand.s, cand.y, cand.x,
+             jnp.ones((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_))
+    # Unrolled (NB_REFINEMENT_STEPS is 5 and static): a lax.scan here pays
+    # TPU while-loop per-iteration overhead on a sub-ms body.
+    for step_i in range(NB_REFINEMENT_STEPS):
+        carry, _ = step(carry, step_i)
+    rs, ry, rx, valid, _ = carry
 
     # --- final Newton solve + acceptance tests at the stop cell ---------
+    # Walk stops are interior cells, so all 27 neighbors are in-bounds;
+    # fetch them as 9 contiguous 3-element slices (one gather each) instead
+    # of 27 scalar gathers — the x-neighbors are adjacent in memory.
     d_flat = d.reshape(-1)
     base = (rs * h + ry) * w + rx
-    nb = {}
-    for a in (0, 1, 2):
-        for b in (0, 1, 2):
-            for c in (0, 1, 2):
-                off = ((a - 1) * h + (b - 1)) * w + (c - 1)
-                nb[(a, b, c)] = _gather_flat(d_flat, base + off)
+    nb = _gather_neighborhood(d_flat, base, h * w, w)
     off_s, off_x, off_y, g_s, g_x, g_y, singular = _newton_step(
         *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
           for c in (0, 1, 2)])
@@ -406,7 +450,10 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
     nb_oct = len(oct_res)
 
     # --- flatten + concat the code fields and DoGs -----------------------
-    code_flat = jnp.concatenate([c.reshape(-1) for c in codes])
+    # Barrier: keep XLA from fusing the dense code computation into the
+    # walk's while body (it would recompute the field every scan step).
+    code_flat = jax.lax.optimization_barrier(
+        jnp.concatenate([c.reshape(-1) for c in codes]))
     dog_flat = jnp.concatenate([d.astype(jnp.float32).reshape(-1)
                                 for d in dogs])
     code_off = []
@@ -477,18 +524,15 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
         rs = jnp.where(may_move, rs + ms, rs)
         return (rs, ry, rx, valid, done), None
 
-    init = (s0, y0, x0, jnp.ones((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_))
-    (rs, ry, rx, valid, _), _ = jax.lax.scan(
-        step, init, jnp.arange(NB_REFINEMENT_STEPS))
+    carry = (s0, y0, x0,
+             jnp.ones((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_))
+    for step_i in range(NB_REFINEMENT_STEPS):  # unrolled; see above
+        carry, _ = step(carry, step_i)
+    rs, ry, rx, valid, _ = carry
 
     # --- final Newton solve + acceptance tests at the stop cell ----------
     base = g_doff + (rs * g_h + ry) * g_w + rx
-    nb = {}
-    for a in (0, 1, 2):
-        for b in (0, 1, 2):
-            for c in (0, 1, 2):
-                off = ((a - 1) * g_h + (b - 1)) * g_w + (c - 1)
-                nb[(a, b, c)] = _gather_flat(dog_flat, base + off)
+    nb = _gather_neighborhood(dog_flat, base, g_h * g_w, g_w)
     off_s, off_x, off_y, g_s, g_x, g_y, singular = _newton_step(
         *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
           for c in (0, 1, 2)])

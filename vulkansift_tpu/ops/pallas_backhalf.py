@@ -20,17 +20,20 @@ that is small moves OUT to batched XLA):
   interpolation and top-k selection run vectorized in XLA
   (:mod:`.orientation.peaks_from_histograms`).
 * **K2 (descriptor)**: per (keypoint, orientation) pair, DMA the larger
-  descriptor window (two sigma buckets), rebuild gradients, and accumulate
-  the 128-bin descriptor as ONE MXU matmul ``desc(4,32) = U(4,N) @
-  V(32,N)^T`` in bf16 with f32 accumulation
+  descriptor window (three sigma buckets — per-pair cost is linear in
+  window area on v5e, so the common low-sigma pairs get small windows),
+  rebuild gradients, and accumulate the 128-bin descriptor as ONE MXU
+  matmul ``desc(4,32) = U(4,N) @ V(32,N)^T`` in bf16 with f32 accumulation
   (ComputeDescriptors.comp:106-198) — replacing the shader's fixed-point
   shared-memory atomics.
 
-Window DMA alignment: rows align to 8 (f32 sublane tile); columns use two
-64-lane-shifted atlas copies so any 64-aligned window start maps to a
-128-aligned DMA on one copy. DMAs are multi-buffered ``_PREFETCH`` steps
-ahead. Only a packed address word lives in SMEM (~1 MB total); all other
-per-keypoint metadata arrives as VMEM blocks spanning 8 grid steps.
+Window DMA alignment: rows align to 8 (f32 sublane tile); columns use four
+32-lane-shifted atlas copies so any 32-aligned window start maps to a
+128-aligned DMA on one copy — every kernel window (max edge 89 + 31
+alignment slack) then fits one 128-lane tile. DMAs are multi-buffered
+``_PREFETCH`` steps ahead. Only a packed address word lives in SMEM
+(~1 MB total); all other per-keypoint metadata arrives as VMEM blocks
+spanning 8 grid steps.
 
 Normalization/quantization to u8 runs in XLA afterwards (tiny).
 """
@@ -50,7 +53,8 @@ from ..config import (LAMBDA_DESCRIPTOR, LAMBDA_ORIENTATION, NB_HIST, NB_ORI,
                       NB_ORI_HIST_BINS, ORI_PEAK_RATIO, SiftConfig)
 
 _TWO_PI = 2.0 * math.pi
-_N_COPIES = 2          # lane-shift copies (64-lane granularity)
+_N_COPIES = 4          # lane-shift copies (32-lane granularity)
+_SHIFT = 128 // _N_COPIES
 _N_BUF = 8             # DMA multi-buffering slots
 _PREFETCH = 7          # DMA prefetch distance (< _N_BUF)
 
@@ -108,9 +112,14 @@ def ori_window_edge(sigma_oct_max: float) -> int:
     return 2 * (r + 1) + 1
 
 
-def _sigma_split(config: SiftConfig) -> float:
-    """subpix_s threshold splitting pairs into small/large-window sets."""
-    return (config.nb_scales_per_octave + 1) / 2.0
+def _sigma_splits(config: SiftConfig) -> Tuple[float, float]:
+    """subpix_s thresholds splitting pairs into 3 window-size buckets.
+
+    Smaller windows for the common low-sigma keypoints: per-pair kernel
+    cost is linear in window area (measured on v5e), and the subpix_s
+    distribution concentrates near the low scales."""
+    hi = config.nb_scales_per_octave + 1
+    return (hi / 3.0, 2.0 * hi / 3.0)
 
 
 def _sigma_max(config: SiftConfig, subpix_s: float) -> float:
@@ -147,10 +156,38 @@ def pack_addr(cidx, layer, ys, ax):
             + ((ax // 128) << _ADDR_AX_SHIFT)).astype(jnp.int32)
 
 
+def _copies_kernel(src_ref, out_ref):
+    x = src_ref[0]                                     # (HB, W)
+    w = x.shape[-1]
+    rows = [x] + [pltpu.roll(x, w - _SHIFT * c, 1)
+                  for c in range(1, _N_COPIES)]
+    out_ref[...] = jnp.stack(rows)[:, None]
+
+
 def make_shifted_copies(atlas: jax.Array) -> jax.Array:
-    """(L, H, W) f32 atlas -> (2, L, H, W) 64-lane-shifted copies."""
-    return jnp.stack([jnp.roll(atlas, -64 * c, axis=-1)
-                      for c in range(_N_COPIES)], axis=0)
+    """(L, H, W) f32 atlas -> (N, L, H, W) lane-shifted copies.
+
+    Copy c is rolled left by c*_SHIFT lanes, so any _SHIFT-aligned window
+    start maps to a 128-aligned DMA on exactly one copy; with _SHIFT=32
+    every kernel window (max descriptor edge 89 + 31 slack <= 128) fits a
+    single 128-lane tile — no 256-wide windows, ~2x less window compute
+    for large-sigma keypoints.
+
+    One Pallas pass (read once, write N) — XLA lowers jnp.roll to
+    slice+pad+maximum chains costing ~7.5 ms for the 4-copy atlas at
+    1536x1024; this kernel runs at memory speed."""
+    l, h, w = atlas.shape
+    hb = next(b for b in (64, 32, 16, 8, 4, 2, 1) if h % b == 0)
+    return pl.pallas_call(
+        _copies_kernel,
+        grid=(l, h // hb),
+        in_specs=[pl.BlockSpec((1, hb, w), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_N_COPIES, 1, hb, w),
+                               lambda i, j: (0, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_N_COPIES, l, h, w), atlas.dtype),
+    )(atlas)
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +236,7 @@ def _window_fields(win, step, addr_ref, meta, geom):
 
     a = addr_ref[step]
     ys0 = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
-    ss0 = (a >> _ADDR_AX_SHIFT) * 128 + jax.lax.rem(a, 4) * 64
+    ss0 = (a >> _ADDR_AX_SHIFT) * 128 + jax.lax.rem(a, 4) * _SHIFT
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
@@ -430,12 +467,16 @@ def descriptor_tpu(gauss4: jax.Array, count: jax.Array, addr: jax.Array,
 # Whole-pyramid atlas orchestration
 # ---------------------------------------------------------------------------
 
-def kernel_window_rows(config: SiftConfig) -> Tuple[int, int]:
-    """(small, large) DESCRIPTOR window row counts."""
-    return (_window_rows(desc_window_edge(
-                _sigma_max(config, _sigma_split(config)))),
-            _window_rows(desc_window_edge(
-                _sigma_max(config, config.nb_scales_per_octave + 1))))
+def desc_bucket_edges(config: SiftConfig) -> Tuple[int, ...]:
+    """Descriptor window edges for the 3 sigma buckets."""
+    s1, s2 = _sigma_splits(config)
+    tops = (s1, s2, config.nb_scales_per_octave + 1)
+    return tuple(desc_window_edge(_sigma_max(config, t)) for t in tops)
+
+
+def kernel_window_rows(config: SiftConfig) -> Tuple[int, ...]:
+    """Per-bucket DESCRIPTOR window row counts."""
+    return tuple(_window_rows(e) for e in desc_bucket_edges(config))
 
 
 def min_octave_rows(config: SiftConfig) -> int:
@@ -468,7 +509,12 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
 
     # --- build the atlas: octave bands stacked vertically ---------------
     with jax.named_scope("AtlasBuild"):
-        w_atlas = _round_up(max(128, max(ow for ow, _ in oct_res)), 128)
+        # Width must hold the widest kernel window (wc = 256 when a
+        # descriptor bucket's edge exceeds 128 - _SHIFT + 1), not just the
+        # widest octave — otherwise small-image window DMAs read OOB.
+        max_wc = max(128 if e + _SHIFT - 1 <= 128 else 256
+                     for e in desc_bucket_edges(config))
+        w_atlas = _round_up(max(max_wc, max(ow for ow, _ in oct_res)), 128)
         band_off = []
         rows = 0
         for ow, oh in oct_res:
@@ -504,14 +550,16 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     scale_idx = cat("scale_idx")
     total_cap = valid.shape[0]
 
-    oct_id = jnp.concatenate([jnp.full((caps[o],), o, jnp.int32)
-                              for o in range(nb_oct)])
-    off_arr = jnp.asarray(band_off, jnp.int32)
-    ow_arr = jnp.asarray([ow for ow, _ in oct_res], jnp.int32)
-    oh_arr = jnp.asarray([oh for _, oh in oct_res], jnp.int32)
-    k_off = off_arr[oct_id]
-    k_ow = ow_arr[oct_id]
-    k_oh = oh_arr[oct_id]
+    # Per-octave constants materialize by concatenation (free), never by
+    # table gathers.
+    def per_kp(vals, dtype=jnp.float32):
+        return jnp.concatenate([jnp.full((caps[o],), vals[o], dtype)
+                                for o in range(nb_oct)])
+
+    oct_id = per_kp(list(range(nb_oct)), jnp.int32)
+    k_off = per_kp(band_off, jnp.int32)
+    k_ow = per_kp([ow for ow, _ in oct_res], jnp.int32)
+    k_oh = per_kp([oh for _, oh in oct_res], jnp.int32)
 
     sig_oct = jnp.maximum(
         config.seed_scale_sigma * jnp.exp2(subpix_s / s), 1e-6)
@@ -523,30 +571,34 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     xhi = (k_ow - 2).astype(jnp.float32)
     sy_at = scale_y + k_off.astype(jnp.float32)
 
-    def meta_cols(idx, extra=None):
-        cols = [scale_x[idx], sy_at[idx], sig_oct[idx],
-                cx[idx].astype(jnp.float32), cy[idx].astype(jnp.float32),
-                ylo[idx], yhi[idx], xhi[idx]]
-        width = 8
-        if extra is not None:
-            cols.append(extra)
-            cols += [jnp.zeros_like(extra)] * 7
-            width = 16
-        return jnp.stack([c.astype(jnp.float32) for c in cols],
-                         -1).reshape(-1, 1, width)
+    # ONE packed per-keypoint record: every downstream consumer row-gathers
+    # this matrix once instead of issuing a 1-D gather per field — a
+    # (32k,) gather costs ~0.23 ms on v5e and the old layout issued ~50.
+    # Columns 0..7 are exactly the kernels' 8 meta scalars.
+    REC = jnp.stack([
+        scale_x, sy_at, sig_oct,                       # 0..2
+        cx.astype(jnp.float32), cy.astype(jnp.float32),  # 3, 4
+        ylo, yhi, xhi,                                 # 5..7
+        cat("x"), cat("y"), scale_y,                   # 8..10
+        cat("sigma"), cat("intensity"),                # 11, 12
+        scale_idx.astype(jnp.float32),                 # 13
+        oct_id.astype(jnp.float32),                    # 14
+        subpix_s,                                      # 15
+    ], axis=-1)
 
-    def addr_for(idx, r1, wr, wc):
+    def addr_from_rec(rec, r1, wr, wc):
         # Row clamp is per-kernel (h_atlas - wr): a window starting there
         # still covers the keypoint's rows (band bottoms are < h_atlas and
         # the interior mask drops out-of-band rows), and the DMA never
         # reads past the atlas bottom (ADVICE round 1, medium).
-        bcx = cx[idx]
-        bcy = cy[idx]
+        bcx = rec[:, 3].astype(jnp.int32)
+        bcy = rec[:, 4].astype(jnp.int32)
+        lay = jnp.clip(rec[:, 13].astype(jnp.int32), 0, nb_layers - 1)
         ys = _window_start(bcy, r1, 8, h_atlas - wr)
-        ss = _window_start(bcx, r1, 64, w_atlas - (wc - 64))
-        cidx_ = (ss % 128) // 64
-        ax = ss - 64 * cidx_
-        return pack_addr(cidx_, layer[idx], ys, ax)
+        ss = _window_start(bcx, r1, _SHIFT, w_atlas - (wc - _SHIFT))
+        cidx_ = (ss % 128) // _SHIFT
+        ax = ss - _SHIFT * cidx_
+        return pack_addr(cidx_, lay, ys, ax)
 
     # --- K1: orientation histograms for ALL valid keypoints --------------
     with jax.named_scope("ComputeOrientation"):
@@ -555,10 +607,11 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         ori_geom = _KernelGeom(wr=_window_rows(ori_edge), wc=128,
                                h8=h_atlas, w32=w_atlas)
         kidx, kcnt = rank_select_fn(valid, total_cap)
+        rec_k = REC[kidx]                                # one row gather
         hist = orientation_hist_tpu(
             g4, kcnt,
-            addr_for(kidx, (ori_edge - 1) // 2, ori_geom.wr, 128),
-            meta_cols(kidx), geom=ori_geom)
+            addr_from_rec(rec_k, (ori_edge - 1) // 2, ori_geom.wr, 128),
+            rec_k[:, :8].reshape(-1, 1, 8), geom=ori_geom)
 
         # peaks (vectorized XLA; tiny per-keypoint vectors are op-issue
         # bound inside a per-keypoint kernel)
@@ -573,62 +626,78 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         count = jnp.minimum(pair_total, capacity)
         lost = pair_total - count
         pidx, _ = rank_select_fn(pvalid, capacity)
-        parent = kidx[pidx // ori_cap]                    # original kp slots
+        rec_p = rec_k[pidx // ori_cap]                   # pair records
         angle = angles.reshape(-1)[pidx]
 
-    # --- K2: descriptors per pair, split by sigma bucket ------------------
-    split = _sigma_split(config)
+    # --- K2: descriptors per pair, split into 3 sigma buckets -------------
+    s1, s2 = _sigma_splits(config)
     wrs = kernel_window_rows(config)
-    edges = [desc_window_edge(_sigma_max(config, split)),
-             desc_window_edge(_sigma_max(config, s + 1))]
-    pair_small = subpix_s[parent] <= split
+    edges = desc_bucket_edges(config)
+    pair_s = rec_p[:, 15]
+    pair_bucket = ((pair_s > s1).astype(jnp.int32)
+                   + (pair_s > s2).astype(jnp.int32))
     pair_live = jnp.arange(capacity) < count
+
+    # Pair record with the peak angle appended as column 8 (the kernels'
+    # meta layout) — built once, row-gathered per bucket.
+    rec_pa = jnp.concatenate(
+        [rec_p[:, :8], angle[:, None], rec_p[:, 8:15]], axis=1)
 
     d128 = NB_HIST * NB_HIST * NB_ORI
     with jax.named_scope("ComputeDescriptors"):
-        desc_raw = jnp.zeros((capacity, d128), jnp.float32)
-        for b in range(2):
-            wc = 128 if edges[b] + 63 <= 128 else 256
+        raws = []
+        bucket_rank = []
+        for b in range(len(edges)):
+            wc = 128 if edges[b] + _SHIFT - 1 <= 128 else 256
             geom = _KernelGeom(wr=wrs[b], wc=wc, h8=h_atlas, w32=w_atlas)
-            sel = pair_live & (pair_small if b == 0 else ~pair_small)
+            sel = pair_live & (pair_bucket == b)
             sidx, scnt = rank_select_fn(sel, capacity)
-            p_parent = parent[sidx]
-            raw = descriptor_tpu(
-                g4, scnt,
-                addr_for(p_parent, (edges[b] - 1) // 2, wrs[b], wc),
-                meta_cols(p_parent, extra=angle[sidx]),
-                geom=geom, use_vlfeat=use_vlfeat).reshape(capacity, d128)
-            live_b = (jnp.arange(capacity) < scnt)[:, None]
-            desc_raw = desc_raw.at[sidx].add(jnp.where(live_b, raw, 0.0))
+            rec_b = rec_pa[sidx]                         # one row gather
+            addr_b = addr_from_rec(
+                jnp.concatenate([rec_b[:, :8], rec_b[:, 9:]], axis=1),
+                (edges[b] - 1) // 2, wrs[b], wc)
+            raws.append(descriptor_tpu(
+                g4, scnt, addr_b, rec_b.reshape(-1, 1, 16),
+                geom=geom, use_vlfeat=use_vlfeat).reshape(capacity, d128))
+            bucket_rank.append(jnp.cumsum(sel.astype(jnp.int32)) - 1)
+
+        # Merge the bucket outputs back into pair-slot order with row
+        # gathers + selects (a row scatter here costs ~20x more on TPU).
+        # Each live slot is in exactly one bucket at rank < that bucket's
+        # live count, so garbage kernel rows are never selected.
+        desc_raw = jnp.zeros((capacity, d128), jnp.float32)
+        for b in range(len(edges)):
+            rb = jnp.clip(bucket_rank[b], 0, capacity - 1)
+            desc_raw = jnp.where((pair_bucket == b)[:, None],
+                                 raws[b][rb], desc_raw)
+        desc_raw = jnp.where(pair_live[:, None], desc_raw, 0.0)
 
         from .descriptor import normalize_descriptor
         desc_u8 = normalize_descriptor(desc_raw)
     in_count = pair_live
 
     # Per-octave counts (diagnostics parity: per-section counters) + final
-    # feature packing ("CopySiftCount"/pack analogue).
+    # feature packing ("CopySiftCount"/pack analogue) — all straight from
+    # the pair record, zero extra gathers.
     with jax.named_scope("PackFeatures"):
-        pair_oct = oct_id[parent]
+        pair_oct = rec_p[:, 14].astype(jnp.int32)
         per_octave = jnp.stack([
             jnp.sum(jnp.where(in_count & (pair_oct == o), 1, 0))
             for o in range(nb_oct)])
-
-        def g_at(field):
-            return cat(field)[parent]
 
         def msk(a):
             m = in_count if a.ndim == 1 else in_count[:, None]
             return jnp.where(m, a, jnp.zeros_like(a))
 
         fields = dict(
-            x=msk(g_at("x")), y=msk(g_at("y")),
-            scale_x=msk(g_at("scale_x")), scale_y=msk(g_at("scale_y")),
-            scale_idx=msk(g_at("scale_idx")),
+            x=msk(rec_p[:, 8]), y=msk(rec_p[:, 9]),
+            scale_x=msk(rec_p[:, 0]), scale_y=msk(rec_p[:, 10]),
+            scale_idx=msk(rec_p[:, 13].astype(jnp.int32)),
             octave_idx=msk(pair_oct
                            - (1 if config.use_input_upsampling else 0)),
-            sigma=msk(g_at("sigma")),
+            sigma=msk(rec_p[:, 11]),
             orientation=msk(angle),
-            intensity=msk(g_at("intensity")),
+            intensity=msk(rec_p[:, 12]),
             descriptor=msk(desc_u8),
         )
     return fields, count, per_octave, lost

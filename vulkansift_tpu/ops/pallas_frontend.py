@@ -32,33 +32,54 @@ from .extract import (_CODE_CONV, _CODE_SING, _newton_step, Candidates,
 
 _CODE_CAND = 128  # candidate bit (u8; walk code occupies [0, 107])
 _BR = 16          # rows per grid step
+_MAX_SINGLE_W = 4096  # beyond this, column-tile (VMEM budget)
+_CW = 2048        # interior columns per tile when tiled
 
 
 def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
-                       dog_threshold: float):
+                       dog_threshold: float, cw: int, halo: int):
+    """cw = interior columns per tile; halo = extra columns DMA'd on each
+    side (0 for the single-tile case, 128 when column-tiled — wide images
+    would otherwise blow VMEM with ~30 live (BR, W) intermediates)."""
     s_layers = ns - 2  # center layers 1..ns-2
+    wt = cw + 2 * halo  # tile width
 
     def kernel(dog_ref, code_ref, counts_ref, blk, sem):
-        step = pl.program_id(0)
+        if halo:
+            step = pl.program_id(0)
+            col = pl.program_id(1)
+            c0 = col * cw  # into the halo-padded input
+        else:
+            step = pl.program_id(0)
+            col = None
+            c0 = 0
         y0 = step * _BR  # first interior row of this block (y = y0 + 1 … )
 
         # Halo block: rows [y0, y0 + _BR + 8) of every layer.
         dma = pltpu.make_async_copy(
-            dog_ref.at[:, pl.ds(pl.multiple_of(y0, 8), _BR + 8), :],
+            dog_ref.at[:, pl.ds(pl.multiple_of(y0, 8), _BR + 8),
+                       pl.ds(pl.multiple_of(c0, 128), wt)],
             blk, sem)
         dma.start()
         dma.wait()
 
         # Lane-shifted variants per layer (x-1, x, x+1).
         def lat(l, dy, dx):
-            rows = blk[l, pl.ds(dy, _BR), :]          # (BR, w)
+            rows = blk[l, pl.ds(dy, _BR), :]          # (BR, wt)
             if dx == 0:
                 return rows
-            return pltpu.roll(rows, (-dx) % w, 1)
+            return pltpu.roll(rows, (-dx) % wt, 1)
 
-        jj = jax.lax.broadcasted_iota(jnp.int32, (_BR, w), 1)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (_BR, w), 0)
-        interior_x = (jj >= 1) & (jj <= w_true - 2)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (_BR, wt), 1)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (_BR, wt), 0)
+        if halo:
+            # Global x of lane jj is c0 + jj - halo; the tile's interior
+            # band is jj in [halo, halo + cw).
+            gx = c0 + jj - halo
+            interior_x = ((gx >= 1) & (gx <= w_true - 2)
+                          & (jj >= halo) & (jj < halo + cw))
+        else:
+            interior_x = (jj >= 1) & (jj <= w_true - 2)
         interior_y = (y0 + 1 + ii) <= h - 2
 
         codes = []
@@ -96,24 +117,42 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
                     + _CODE_CONV * conv.astype(jnp.int32)
                     + _CODE_SING * singular.astype(jnp.int32)
                     + _CODE_CAND * cand.astype(jnp.int32))
-            codes.append(code.astype(jnp.uint8).reshape(1, _BR, w))
-            counts.append(jnp.sum(cand.astype(jnp.int32), axis=1,
-                                  keepdims=True))      # (BR, 1)
+            if halo:
+                code = code[:, halo:halo + cw]
+                cand = cand[:, halo:halo + cw]
+            cw_eff = cw if halo else w
+            codes.append(code.astype(jnp.uint8).reshape(1, _BR, cw_eff))
+            # Per-128-lane-block candidate counts via one tiny MXU matmul
+            # (cand @ block-membership one-hot): they turn the global
+            # rank-select into a 3-level search whose big gather is one
+            # 128-lane block per candidate instead of a full image row.
+            nblk = cw_eff // 128
+            bi = jax.lax.broadcasted_iota(jnp.int32, (cw_eff, nblk), 0)
+            bj = jax.lax.broadcasted_iota(jnp.int32, (cw_eff, nblk), 1)
+            bm = (bi // 128 == bj).astype(jnp.bfloat16)
+            cb = jax.lax.dot_general(
+                cand.astype(jnp.bfloat16), bm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (BR, nblk)
+            counts.append(cb.astype(jnp.int32).reshape(_BR, 1, nblk))
 
-        code_ref[:] = jnp.concatenate(codes, axis=0)   # (S, BR, w)
-        counts_ref[:] = jnp.concatenate(counts, axis=1)  # (BR, S)
+        code_ref[:] = jnp.concatenate(codes, axis=0)   # (S, BR, cw|w)
+        counts_ref[:] = jnp.concatenate(counts, axis=1)  # (BR, S, nblk)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dog_threshold", "capacity"))
-def frontend_tpu(dog: jax.Array, *, dog_threshold: float,
-                 capacity: int) -> Tuple[Candidates, jax.Array]:
+@functools.partial(jax.jit, static_argnames=(
+    "dog_threshold", "capacity", "max_single_w", "col_tile"))
+def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
+                 max_single_w: int = _MAX_SINGLE_W,
+                 col_tile: int = _CW) -> Tuple[Candidates, jax.Array]:
     """Pallas dense frontend for one octave.
 
     Args:
       dog: (S+2, H, W) DoG stack, H a multiple of 8 preferred (padded
         internally), W a multiple of 128 (caller pads; pyramid widths are).
+      max_single_w/col_tile: column-tiling thresholds (overridable for
+        tests; defaults sized for the v5e VMEM budget).
 
     Returns (Candidates at ``capacity`` in raster order, code field
     u8 (S, HR, WP) addressed as code[s-1, y-1, x], lanes padded to 128).
@@ -125,53 +164,114 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float,
     # Interior rows are 1..h-2; blocks start at multiples of _BR.
     nsteps = -(-(h - 2) // _BR)
     hp = nsteps * _BR + 8  # halo slack
-    if hp > h or w > w_true:
-        d = jnp.pad(d, ((0, 0), (0, max(hp - h, 0)), (0, w - w_true)))
 
-    kernel = _make_front_kernel(ns, h, w_true, w, dog_threshold)
-    code, counts = pl.pallas_call(
-        kernel,
-        grid=(nsteps,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec((s_layers, _BR, w), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BR, s_layers), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((s_layers, nsteps * _BR, w), jnp.uint8),
-            jax.ShapeDtypeStruct((nsteps * _BR, s_layers), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((ns, _BR + 8, w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(d)
+    if w <= max_single_w:
+        # Single column tile: whole rows stream through VMEM.
+        if hp > h or w > w_true:
+            d = jnp.pad(d, ((0, 0), (0, max(hp - h, 0)), (0, w - w_true)))
+        kernel = _make_front_kernel(ns, h, w_true, w, dog_threshold,
+                                    cw=w, halo=0)
+        nblk = w // 128
+        code, counts = pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(
+                pl.BlockSpec((s_layers, _BR, w), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BR, s_layers, nblk), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((s_layers, nsteps * _BR, w),
+                                     jnp.uint8),
+                jax.ShapeDtypeStruct((nsteps * _BR, s_layers, nblk),
+                                     jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((ns, _BR + 8, w), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(d)
+    else:
+        # Column-tiled: wider images (e.g. octave 0 of Hannover 3456x2304
+        # upsampled = 6912 px) would hold ~30 live (BR, W) intermediates
+        # in VMEM. Tiles of _CW interior columns with a 128-column halo on
+        # each side; per-row counts accumulate across column tiles.
+        halo, cw = 128, col_tile
+        ncols = -(-w_true // cw)
+        wp = ncols * cw
+        d = jnp.pad(d, ((0, 0), (0, max(hp - h, 0)),
+                        (halo, wp + halo - w_true)))
+        kernel = _make_front_kernel(ns, h, w_true, wp, dog_threshold,
+                                    cw=cw, halo=halo)
+        cblk = cw // 128
+        code, counts = pl.pallas_call(
+            kernel,
+            grid=(nsteps, ncols),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(
+                pl.BlockSpec((s_layers, _BR, cw), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BR, s_layers, cblk), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((s_layers, nsteps * _BR, wp),
+                                     jnp.uint8),
+                jax.ShapeDtypeStruct((nsteps * _BR, s_layers, wp // 128),
+                                     jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((ns, _BR + 8, cw + 2 * halo), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(d)
+        w = wp
 
-    # Two-level rank select: rows are (layer, block_row) in raster order
-    # (s-major, then y). counts[r, sc] counts candidates in interior row
-    # y = r + 1 of center layer sc+1.
+    # Three-level rank select: rank -> (layer, row) via a tiny row-total
+    # cumsum; row rank -> 128-lane block via the kernel's per-block counts;
+    # block rank -> lane via one 128-byte code-block gather per candidate.
+    # (The previous two-level scheme gathered FULL image rows per candidate
+    # and cumsummed (capacity, W) — ~50M cells at octave 0, ~10 ms.)
     hr = nsteps * _BR
-    row_counts = counts.T.reshape(-1)                   # (S * hr,)
+    nblk = w // 128
+    row_tot = counts.sum(axis=2)                        # (hr, S)
+    row_counts = row_tot.T.reshape(-1)                  # (S * hr,)
     cs_rows = jnp.cumsum(row_counts)
     total = jnp.minimum(cs_rows[-1], capacity)
     ranks = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    row = jnp.searchsorted(cs_rows, ranks, side="left")
-    row = jnp.clip(row, 0, s_layers * hr - 1).astype(jnp.int32)
+    # searchsorted(a, v, "left") == count(a < v): a dense compare+reduce
+    # beats the binary-search while loop for these table sizes (the walk
+    # tables are ~12k rows / 24 blocks / 128 lanes; the while op costs
+    # ~1 ms per level on v5e).
+    row = jnp.sum(cs_rows[None, :] < ranks[:, None], axis=1,
+                  dtype=jnp.int32)
+    row = jnp.clip(row, 0, s_layers * hr - 1)
     base = jnp.where(row > 0, cs_rows[jnp.maximum(row - 1, 0)], 0)
     within = ranks - base                                # 1-based rank in row
 
     sc = row // hr                                       # 0-based layer
     yy = row % hr                                        # interior row idx
 
-    # Gather candidate-bit rows and search within them.
-    rows_u8 = code.reshape(s_layers * hr, w)[row]        # (cap, w)
-    cand_rows = (rows_u8 >= _CODE_CAND).astype(jnp.int32)
+    # Row rank -> lane block.
+    cb = counts.transpose(1, 0, 2).reshape(s_layers * hr, nblk)[row]
+    cs_b = jnp.cumsum(cb, axis=1)                        # (cap, nblk)
+    blk = jnp.sum(cs_b < within[:, None], axis=1, dtype=jnp.int32)
+    blk = jnp.clip(blk, 0, nblk - 1)
+    base_b = jnp.where(
+        blk > 0,
+        jnp.take_along_axis(cs_b, jnp.maximum(blk - 1, 0)[:, None],
+                            axis=1)[:, 0], 0)
+    within_b = within - base_b
+
+    # Block rank -> lane.
+    blk128 = code.reshape(s_layers * hr, nblk, 128)[row, blk]  # (cap, 128)
+    cand_rows = (blk128 >= _CODE_CAND).astype(jnp.int32)
     cs_in = jnp.cumsum(cand_rows, axis=1)
-    xx = jax.vmap(lambda r, k: jnp.searchsorted(r, k, side="left"))(
-        cs_in, within)
-    xx = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+    xin = jnp.sum(cs_in < within_b[:, None], axis=1, dtype=jnp.int32)
+    xx = blk * 128 + jnp.clip(xin, 0, 127)
+    xx = jnp.clip(xx, 0, w - 1)
 
     live = ranks <= total
     cand = Candidates(

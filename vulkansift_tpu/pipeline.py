@@ -106,7 +106,8 @@ def _backhalf_xla(gaussians_o, refined, *, cfg: SiftConfig, ow: int, oh: int,
 
 def make_detect_fn(config: SiftConfig, width: int, height: int,
                    *, return_pyramid: bool = False,
-                   backhalf: str = "auto", batched: bool = False):
+                   backhalf: str = "auto", batched: bool = False,
+                   bucketed: bool = False):
     """Build the single-program detect function for one static resolution.
 
     Args:
@@ -115,14 +116,28 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
       width/height: static input resolution.
       return_pyramid: also return (gaussians, dogs) for the debug APIs.
       backhalf: "xla" | "pallas" | "auto" (see module docstring).
+      bucketed: the resolution-bucketing mode (config.resolution_bucket>1):
+        ``detect`` takes extra traced ``(valid_w, valid_h)`` scalars, the
+        octave count is derived conservatively from the smallest resolution
+        mapping to this bucket (one compiled program serves the whole
+        bucket — the TPU analogue of the reference's image re-creation on
+        preallocated memory, sift_memory.c:891-924), and keypoints outside
+        the valid region are masked out. Detection near the padded border
+        can differ slightly from exact-resolution detection (the blur sees
+        edge-replicated pixels instead of the mirror boundary).
 
     Returns:
-      ``detect(image_u8) -> DetectOutput`` (or ``(DetectOutput, gaussians,
-      dogs)``), a pure jit-compatible function.
+      ``detect(image_u8[, valid_w, valid_h]) -> DetectOutput`` (or
+      ``(DetectOutput, gaussians, dogs)``), a pure jit-compatible function.
     """
     cfg = config
     s = cfg.nb_scales_per_octave
     oct_res = cfg.octave_resolutions(width, height)
+    if bucketed:
+        b = cfg.resolution_bucket
+        n_cap = cfg.max_octaves_for(max(width - b + 1, 32),
+                                    max(height - b + 1, 32))
+        oct_res = oct_res[:n_cap]
     nb_oct = len(oct_res)
     caps = cfg.octave_section_capacities(nb_oct)
     oct_shapes = tuple((h, w) for (w, h) in oct_res)
@@ -134,7 +149,7 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
     if backhalf == "auto":
         backhalf = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    def detect(image_u8: jax.Array):
+    def detect(image_u8: jax.Array, valid_w=None, valid_h=None):
         # jax.named_scope = the reference's per-stage debug-marker regions
         # (sift_detector.c:29-50): names land in the HLO metadata, so XProf
         # device traces attribute time to pipeline stages.
@@ -147,11 +162,11 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
             codes = []
             for o, (ow, oh) in enumerate(oct_res):
                 cap_o = caps[o]
-                # Width cap: the dense kernel holds ~27 row-block neighbor
-                # arrays in VMEM; beyond ~4k lanes they exceed the 16MB
-                # budget (column tiling is a follow-up).
+                # The dense kernel column-tiles itself beyond 4096 lanes
+                # (VMEM budget), so any octave wide enough to amortize the
+                # kernel launch takes the Pallas path.
                 if (backhalf == "pallas" and not batched
-                        and 1024 <= ow <= 4096 and oh >= 32):
+                        and 1024 <= ow and oh >= 32):
                     cand, code = pallas_frontend.frontend_tpu(
                         dogs[o], dog_threshold=cfg.dog_threshold,
                         capacity=cap_o)
@@ -185,6 +200,17 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
                         edge_threshold=cfg.edge_threshold,
                         seed_sigma=cfg.seed_scale_sigma,
                         octave_idx=octave_idx, code=codes[o]))
+            if bucketed and valid_w is not None:
+                # Drop keypoints detected in the bucket's padding region.
+                vw = jnp.asarray(valid_w, jnp.float32)
+                vh = jnp.asarray(valid_h, jnp.float32)
+                refined_list = [
+                    r._replace(valid=r.valid & (r.x < vw) & (r.y < vh))
+                    for r in refined_list]
+            # The back half reads each refined field several times;
+            # materialize once so XLA cannot rematerialize the refine
+            # gather chain per consumer.
+            refined_list = jax.lax.optimization_barrier(refined_list)
 
         if backhalf == "pallas":
             # Whole-pyramid fused back half (2 pallas_calls total).

@@ -10,6 +10,8 @@ from .bundle_adjustment import (BAProblem, BAResult, bundle_adjust,
 from .pose_graph import PoseGraph, optimize_pose_graph, pose_graph_cost
 from .reconstruction import Reconstruction, reconstruct_sequence
 from .checkpoint import load_reconstruction, save_reconstruction
+from .metrics import (absolute_trajectory_error, camera_centers,
+                      umeyama_alignment)
 
 __all__ = [
     "Camera", "SE3", "decompose_essential", "essential_8pt", "exp_so3",
@@ -18,4 +20,5 @@ __all__ = [
     "make_distributed_ba", "PoseGraph", "optimize_pose_graph",
     "pose_graph_cost", "Reconstruction", "reconstruct_sequence",
     "load_reconstruction", "save_reconstruction",
+    "absolute_trajectory_error", "camera_centers", "umeyama_alignment",
 ]

@@ -626,8 +626,12 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         count = jnp.minimum(pair_total, capacity)
         lost = pair_total - count
         pidx, _ = rank_select_fn(pvalid, capacity)
-        rec_p = rec_k[pidx // ori_cap]                   # pair records
-        angle = angles.reshape(-1)[pidx]
+        pslot = pidx // ori_cap
+        rec_p = rec_k[pslot]                             # pair records
+        # Row gather + lane select beats the flat (cap*ori_cap,) 1-D
+        # gather (~1 ms at 131k on v5e).
+        angle = jnp.take_along_axis(
+            angles[pslot], (pidx - pslot * ori_cap)[:, None], axis=1)[:, 0]
 
     # --- K2: descriptors per pair, split into 3 sigma buckets -------------
     s1, s2 = _sigma_splits(config)

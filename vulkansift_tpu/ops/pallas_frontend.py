@@ -254,8 +254,8 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
     sc = row // hr                                       # 0-based layer
     yy = row % hr                                        # interior row idx
 
-    # Row rank -> lane block.
-    cb = counts.transpose(1, 0, 2).reshape(s_layers * hr, nblk)[row]
+    # Row rank -> lane block (2-D indexing: no transpose materialization).
+    cb = counts[yy, sc]                                  # (cap, nblk)
     cs_b = jnp.cumsum(cb, axis=1)                        # (cap, nblk)
     blk = jnp.sum(cs_b < within[:, None], axis=1, dtype=jnp.int32)
     blk = jnp.clip(blk, 0, nblk - 1)

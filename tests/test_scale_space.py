@@ -92,6 +92,6 @@ def test_pyramid_bf16_close_to_f32(small_image):
     g32, _ = scale_space.build_pyramid(img, c32, shapes)
     g16, _ = scale_space.build_pyramid(img, c16, shapes)
     for a, b in zip(g32, g16):
-        assert b.dtype == np.dtype("bfloat16") or str(b.dtype) == "bfloat16"
+        assert str(b.dtype) == "float16"  # IEEE fp16 (reference parity)
         np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(b, np.float32), atol=2e-2)
+                                   np.asarray(b, np.float32), atol=2e-3)

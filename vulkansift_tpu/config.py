@@ -7,9 +7,10 @@ validation conditions (reference: src/vulkansift/vulkansift.c:550-584).
 
 TPU-specific notes:
 
-* ``pyramid_precision`` FLOAT16 maps to **bfloat16** (the TPU-native 16-bit
-  float); the reference uses IEEE fp16 images. The capability (halved pyramid
-  memory, slightly looser tolerances) is the same.
+* ``pyramid_precision`` FLOAT16 stores pyramids as IEEE fp16, exactly like
+  the reference (halved pyramid memory, slightly looser tolerances). fp16's
+  10 mantissa bits are required: bf16 storage corrupts the tiny pixel
+  differences behind gradients and collapses match recall (measured).
 * ``use_hardware_interpolated_blur`` is accepted for compatibility but is a
   no-op: the linear-texture-fetch trick (reference: src/vulkansift/
   sift_detector.c:122-135) halves *texture fetches* on a GPU sampler; on TPU
@@ -41,7 +42,7 @@ class DescriptorFormat(enum.Enum):
 
 class PyramidPrecision(enum.Enum):
     FLOAT32 = 0
-    FLOAT16 = 1  # bfloat16 on TPU
+    FLOAT16 = 1  # IEEE fp16 storage (reference parity)
 
 
 # Geometry constants fixed by the SIFT formulation (reference:
@@ -98,7 +99,7 @@ class SiftConfig:
     device_index: int = -1
     # Accepted for reference compatibility; no-op on TPU (see module docs).
     use_hardware_interpolated_blur: bool = True
-    # FLOAT32 or FLOAT16 (bfloat16 on TPU) scale-space pyramid precision.
+    # FLOAT32 or FLOAT16 (IEEE fp16 storage) scale-space pyramid precision.
     pyramid_precision: PyramidPrecision = PyramidPrecision.FLOAT32
 
     # --- TPU-specific knobs (no reference equivalent) ---

@@ -488,6 +488,17 @@ def _window_start(center, r1, align, lim):
     return jnp.clip(((center - r1) // align) * align, 0, lim)
 
 
+def _bucket_sizes(total: int, lo: int = 4096):
+    """Power-of-two live-count buckets [lo, 2*lo, ..., total]."""
+    sizes = []
+    b = lo
+    while b < total:
+        sizes.append(b)
+        b *= 2
+    sizes.append(total)
+    return sizes
+
+
 def run_atlas(gaussians, refined_list, rank_select_fn, *,
               config: SiftConfig, oct_res, caps, capacity: int):
     """Back half for ALL octaves: one histogram kernel + two descriptor
@@ -614,70 +625,121 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
             rec_k[:, :8].reshape(-1, 1, 8), geom=ori_geom)
 
         # peaks (vectorized XLA; tiny per-keypoint vectors are op-issue
-        # bound inside a per-keypoint kernel)
+        # bound inside a per-keypoint kernel). Bucketed lax.switch: the
+        # smoothing/peak math runs at the smallest power-of-two bucket
+        # holding the LIVE keypoint count instead of at capacity — the
+        # TPU-native analogue of the reference's indirect dispatch for
+        # the XLA glue.
         from .orientation import peaks_from_histograms
         in_cnt = jnp.arange(total_cap) < kcnt
         hist = jnp.where(in_cnt[:, None], hist, 0.0)
-        ori = peaks_from_histograms(hist, ori_cap)
-        angles = ori.angles                               # (cap, ori_cap)
-        pvalid = (ori.valid & in_cnt[:, None]).reshape(-1)
+
+        ksizes = _bucket_sizes(total_cap)
+
+        def peaks_branch(k):
+            def run():
+                o = peaks_from_histograms(hist[:k], ori_cap)
+                pad = ((0, total_cap - k), (0, 0))
+                return jnp.pad(o.angles, pad), jnp.pad(o.valid, pad)
+            return run
+
+        kbi = sum((kcnt > k).astype(jnp.int32) for k in ksizes[:-1]) \
+            if len(ksizes) > 1 else jnp.int32(0)
+        angles, ovalid = jax.lax.switch(
+            kbi, [peaks_branch(k) for k in ksizes])
+        pvalid = (ovalid & in_cnt[:, None]).reshape(-1)
 
         pair_total = jnp.sum(pvalid, dtype=jnp.int32)
         count = jnp.minimum(pair_total, capacity)
         lost = pair_total - count
-        pidx, _ = rank_select_fn(pvalid, capacity)
-        pslot = pidx // ori_cap
-        rec_p = rec_k[pslot]                             # pair records
-        # Row gather + lane select beats the flat (cap*ori_cap,) 1-D
-        # gather (~1 ms at 131k on v5e).
-        angle = jnp.take_along_axis(
-            angles[pslot], (pidx - pslot * ori_cap)[:, None], axis=1)[:, 0]
 
     # --- K2: descriptors per pair, split into 3 sigma buckets -------------
     s1, s2 = _sigma_splits(config)
     wrs = kernel_window_rows(config)
     edges = desc_bucket_edges(config)
-    pair_s = rec_p[:, 15]
-    pair_bucket = ((pair_s > s1).astype(jnp.int32)
-                   + (pair_s > s2).astype(jnp.int32))
+    nbk = len(edges)
+    d128 = NB_HIST * NB_HIST * NB_ORI
+    psizes = _bucket_sizes(capacity)
+    cs_pv = jnp.cumsum(pvalid.astype(jnp.int32))
+
+    def pbi():
+        return sum((count > p).astype(jnp.int32) for p in psizes[:-1]) \
+            if len(psizes) > 1 else jnp.int32(0)
+
+    # Pair-stage glue at the live bucket size P, padded back to capacity
+    # (dense pad writes are ~free; the gathers/cumsums they replace are
+    # latency-bound at full capacity).
+    def pair_branch(p):
+        def run():
+            rankv = jnp.where(pvalid, cs_pv - 1, p)
+            pidx = jnp.zeros((p,), jnp.int32).at[rankv].set(
+                jnp.arange(pvalid.shape[0], dtype=jnp.int32), mode="drop")
+            pslot = pidx // ori_cap
+            rec_p = rec_k[pslot]
+            angle = jnp.take_along_axis(
+                angles[pslot], (pidx - pslot * ori_cap)[:, None],
+                axis=1)[:, 0]
+            pair_bucket = ((rec_p[:, 15] > s1).astype(jnp.int32)
+                           + (rec_p[:, 15] > s2).astype(jnp.int32))
+            live = jnp.arange(p) < count
+            rec_pa = jnp.concatenate(
+                [rec_p[:, :8], angle[:, None], rec_p[:, 8:15]], axis=1)
+            addrs, metas, scnts, branks = [], [], [], []
+            for b in range(nbk):
+                wc = 128 if edges[b] + _SHIFT - 1 <= 128 else 256
+                sel = live & (pair_bucket == b)
+                sidx, scnt = rank_select_fn(sel, p)
+                rec_b = rec_pa[sidx]
+                addr_b = addr_from_rec(
+                    jnp.concatenate([rec_b[:, :8], rec_b[:, 9:]], axis=1),
+                    (edges[b] - 1) // 2, wrs[b], wc)
+                addrs.append(jnp.pad(addr_b, (0, capacity - p)))
+                metas.append(jnp.pad(rec_b, ((0, capacity - p), (0, 0))))
+                scnts.append(scnt)
+                branks.append(jnp.pad(
+                    jnp.cumsum(sel.astype(jnp.int32)) - 1,
+                    (0, capacity - p)))
+            pad1 = (0, capacity - p)
+            return (tuple(addrs), tuple(metas), tuple(scnts),
+                    tuple(branks),
+                    jnp.pad(rec_p, (pad1, (0, 0))), jnp.pad(angle, pad1),
+                    jnp.pad(pair_bucket, pad1))
+        return run
+
+    (addrs, metas, scnts, branks, rec_p, angle, pair_bucket) = \
+        jax.lax.switch(pbi(), [pair_branch(p) for p in psizes])
     pair_live = jnp.arange(capacity) < count
 
-    # Pair record with the peak angle appended as column 8 (the kernels'
-    # meta layout) — built once, row-gathered per bucket.
-    rec_pa = jnp.concatenate(
-        [rec_p[:, :8], angle[:, None], rec_p[:, 8:15]], axis=1)
-
-    d128 = NB_HIST * NB_HIST * NB_ORI
     with jax.named_scope("ComputeDescriptors"):
         raws = []
-        bucket_rank = []
-        for b in range(len(edges)):
+        for b in range(nbk):
             wc = 128 if edges[b] + _SHIFT - 1 <= 128 else 256
             geom = _KernelGeom(wr=wrs[b], wc=wc, h8=h_atlas, w32=w_atlas)
-            sel = pair_live & (pair_bucket == b)
-            sidx, scnt = rank_select_fn(sel, capacity)
-            rec_b = rec_pa[sidx]                         # one row gather
-            addr_b = addr_from_rec(
-                jnp.concatenate([rec_b[:, :8], rec_b[:, 9:]], axis=1),
-                (edges[b] - 1) // 2, wrs[b], wc)
             raws.append(descriptor_tpu(
-                g4, scnt, addr_b, rec_b.reshape(-1, 1, 16),
+                g4, scnts[b], addrs[b], metas[b].reshape(-1, 1, 16),
                 geom=geom, use_vlfeat=use_vlfeat).reshape(capacity, d128))
-            bucket_rank.append(jnp.cumsum(sel.astype(jnp.int32)) - 1)
 
         # Merge the bucket outputs back into pair-slot order with row
-        # gathers + selects (a row scatter here costs ~20x more on TPU).
-        # Each live slot is in exactly one bucket at rank < that bucket's
-        # live count, so garbage kernel rows are never selected.
-        desc_raw = jnp.zeros((capacity, d128), jnp.float32)
-        for b in range(len(edges)):
-            rb = jnp.clip(bucket_rank[b], 0, capacity - 1)
-            desc_raw = jnp.where((pair_bucket == b)[:, None],
-                                 raws[b][rb], desc_raw)
-        desc_raw = jnp.where(pair_live[:, None], desc_raw, 0.0)
-
+        # gathers + selects (a row scatter here costs ~20x more on TPU),
+        # again at the live bucket size. Each live slot is in exactly one
+        # bucket at rank < that bucket's live count, so garbage kernel
+        # rows are never selected.
         from .descriptor import normalize_descriptor
-        desc_u8 = normalize_descriptor(desc_raw)
+
+        def merge_branch(p):
+            def run():
+                d = jnp.zeros((p, d128), jnp.float32)
+                for b in range(nbk):
+                    rb = jnp.clip(branks[b][:p], 0, capacity - 1)
+                    d = jnp.where((pair_bucket[:p] == b)[:, None],
+                                  raws[b][rb], d)
+                d = jnp.where(pair_live[:p, None], d, 0.0)
+                return jnp.pad(normalize_descriptor(d),
+                               ((0, capacity - p), (0, 0)))
+            return run
+
+        desc_u8 = jax.lax.switch(
+            pbi(), [merge_branch(p) for p in psizes])
     in_count = pair_live
 
     # Per-octave counts (diagnostics parity: per-section counters) + final

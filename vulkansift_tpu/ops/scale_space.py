@@ -23,9 +23,9 @@ Scale-space semantics (sigma schedule) live in :mod:`.gaussian`.
 
 The per-octave construction is sequential by nature (each scale blurs the
 previous, each octave downsamples the previous); everything inside a scale is
-data-parallel and handled by XLA fusion. Pyramid dtype is float32 or
-bfloat16 per ``config.pyramid_precision``, with blur accumulation always in
-float32.
+data-parallel and handled by XLA fusion. Pyramid dtype is float32 or IEEE
+float16 per ``config.pyramid_precision`` (fp16 storage like the reference;
+see build_pyramid), with blur accumulation always in float32.
 """
 
 from __future__ import annotations
@@ -152,7 +152,12 @@ def build_pyramid(
       config.pyramid_precision.
     """
     s = config.nb_scales_per_octave
-    dtype = (jnp.bfloat16 if config.pyramid_precision == PyramidPrecision.FLOAT16
+    # FLOAT16 = IEEE fp16 STORAGE (reference parity, sift_memory.c:139):
+    # gradients downstream are tiny differences of near-equal pixels, and
+    # bf16's 8-bit mantissa corrupts them enough to collapse match recall
+    # to ~0.25 of f32 (measured via perf/parity.py); fp16's 10 bits match
+    # the reference's quality envelope. All arithmetic stays f32.
+    dtype = (jnp.float16 if config.pyramid_precision == PyramidPrecision.FLOAT16
              else jnp.float32)
     kernels = [gaussian.half_kernel(sig) for sig in gaussian.kernel_sigmas(config)]
 

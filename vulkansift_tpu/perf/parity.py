@@ -14,7 +14,9 @@ found missing:
 
 plus the raw correct-match ratio (our correct matches / OpenCV's). Both
 detectors run the SAME pairs. Also sweeps descriptor format (UBC crossed
-against OpenCV; VLFeat self-consistency) and pyramid precision (f32/bf16).
+against OpenCV; VLFeat self-consistency — note the VLFeat layout is a
+consistent within-descriptor permutation, so its self-matching metrics are
+identical to UBC by construction) and pyramid precision (f32/fp16).
 
 CLI: python -m vulkansift_tpu.perf.parity [--out-dir DIR] [--quick]
 Writes ``recall_parity.txt`` (one line per pair) and prints a summary.
@@ -171,14 +173,14 @@ def run_parity(out_dir: str = ".", quick: bool = False,
             descriptor_format=(vs.DescriptorFormat.VLFEAT if fmt == "vlfeat"
                                else vs.DescriptorFormat.UBC),
             pyramid_precision=(vs.PyramidPrecision.FLOAT16
-                               if precision == "bf16"
+                               if precision == "fp16"
                                else vs.PyramidPrecision.FLOAT32))
         det._inst = vs.SiftInstance(det._cfg)
         det.name = f"vulkansift_tpu_{fmt}_{precision}"
         return det
 
-    modes = [("ubc", "f32")] if quick else [
-        ("ubc", "f32"), ("ubc", "bf16"), ("vlfeat", "f32")]
+    modes = [("ubc", "f32"), ("ubc", "fp16")] if quick else [
+        ("ubc", "f32"), ("ubc", "fp16"), ("vlfeat", "f32")]
     lines: List[str] = []
     summary: Dict[str, float] = {}
 

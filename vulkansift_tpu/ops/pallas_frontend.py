@@ -136,7 +136,14 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
             counts.append(cb.astype(jnp.int32).reshape(_BR, 1, nblk))
 
         code_ref[:] = jnp.concatenate(codes, axis=0)   # (S, BR, cw|w)
-        counts_ref[:] = jnp.concatenate(counts, axis=1)  # (BR, S, nblk)
+        cb_all = jnp.concatenate(counts, axis=1)       # (BR, S, nblk)
+        if halo:
+            # Mosaic requires the output block's lane dim be 128-divisible
+            # (or the full array dim): pad the per-tile block counts to a
+            # 128-lane block; the caller slices the real nblk back out.
+            cb_all = jnp.pad(
+                cb_all, ((0, 0), (0, 0), (0, 128 - cb_all.shape[2])))
+        counts_ref[:] = cb_all
 
     return kernel
 
@@ -206,20 +213,20 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
         kernel = _make_front_kernel(ns, h, w_true, wp, dog_threshold,
                                     cw=cw, halo=halo)
         cblk = cw // 128
-        code, counts = pl.pallas_call(
+        code, counts_p = pl.pallas_call(
             kernel,
             grid=(nsteps, ncols),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(
                 pl.BlockSpec((s_layers, _BR, cw), lambda i, j: (0, i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BR, s_layers, cblk), lambda i, j: (i, 0, j),
+                pl.BlockSpec((_BR, s_layers, 128), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((s_layers, nsteps * _BR, wp),
                                      jnp.uint8),
-                jax.ShapeDtypeStruct((nsteps * _BR, s_layers, wp // 128),
+                jax.ShapeDtypeStruct((nsteps * _BR, s_layers, ncols * 128),
                                      jnp.int32),
             ),
             scratch_shapes=[
@@ -227,6 +234,10 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
                 pltpu.SemaphoreType.DMA,
             ],
         )(d)
+        # Strip the 128-lane per-tile padding back to the real blocks.
+        hr_ = nsteps * _BR
+        counts = counts_p.reshape(hr_, s_layers, ncols, 128)[
+            ..., :cblk].reshape(hr_, s_layers, ncols * cblk)
         w = wp
 
     # Three-level rank select: rank -> (layer, row) via a tiny row-total

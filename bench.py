@@ -28,6 +28,7 @@ is ALWAYS printed, from whatever subset of measurements succeeded.
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
@@ -39,6 +40,28 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "5"))
 BATCHES = int(os.environ.get("BENCH_BATCHES", "12"))
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 RETRIES = int(os.environ.get("BENCH_RETRIES", "4"))
+# Hard wall-clock watchdog: a wedged backend (e.g. a tunnel RPC that never
+# returns) would otherwise hang forever and record NOTHING; emit the best
+# JSON we have and exit instead.
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "1800"))
+
+_best = {"json": None}
+
+
+def _watchdog():
+    time.sleep(WATCHDOG_S)
+    line = _best["json"] or json.dumps({
+        "metric": "sift_detect_fps_1536x1024",
+        "value": 0.0,
+        "unit": f"frames/s (watchdog: no measurement within "
+                f"{WATCHDOG_S:.0f}s — backend hung)",
+        "vs_baseline": 0.0,
+    })
+    print(line, flush=True)
+    os._exit(0)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def _bench_image(h, w, seed=0):
@@ -68,12 +91,14 @@ def _emit(fps, dt_ms, lat_ms, n, note=""):
             f"round-trip; {n} feats; ref RTX2060 {BASELINE_MS} ms)")
     if note:
         unit += f"; {note}"
-    print(json.dumps({
+    line = json.dumps({
         "metric": "sift_detect_fps_1536x1024",
         "value": round(fps, 2),
         "unit": unit,
         "vs_baseline": round(fps / baseline_fps, 3),
-    }))
+    })
+    _best["json"] = line
+    print(line)
     sys.stdout.flush()
 
 

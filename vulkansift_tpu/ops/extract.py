@@ -65,6 +65,18 @@ class RefinedKeypoints(NamedTuple):
 _RANK_SCATTER_MAX_N = 1 << 18
 
 
+def bucket_sizes(total: int, lo: int = 2048):
+    """Power-of-two live-count buckets [lo, 2*lo, ..., total] for
+    lax.switch-based capacity scaling."""
+    sizes = []
+    b = lo
+    while b < total:
+        sizes.append(b)
+        b *= 2
+    sizes.append(total)
+    return sizes
+
+
 def rank_select(mask_flat: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
     """Indices of the first ``capacity`` true elements, in order.
 
@@ -354,54 +366,74 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
         return (rs, ry, rx, valid, done), None
 
     k = cand.s.shape[0]
-    carry = (cand.s, cand.y, cand.x,
-             jnp.ones((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_))
-    # Unrolled (NB_REFINEMENT_STEPS is 5 and static): a lax.scan here pays
-    # TPU while-loop per-iteration overhead on a sub-ms body.
-    for step_i in range(NB_REFINEMENT_STEPS):
-        carry, _ = step(carry, step_i)
-    rs, ry, rx, valid, _ = carry
-
-    # --- final Newton solve + acceptance tests at the stop cell ---------
-    # Walk stops are interior cells, so all 27 neighbors are in-bounds;
-    # fetch them as 9 contiguous 3-element slices (one gather each) instead
-    # of 27 scalar gathers — the x-neighbors are adjacent in memory.
     d_flat = d.reshape(-1)
-    base = (rs * h + ry) * w + rx
-    nb = _gather_neighborhood(d_flat, base, h * w, w)
-    off_s, off_x, off_y, g_s, g_x, g_y, singular = _newton_step(
-        *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
-          for c in (0, 1, 2)])
-    valid &= jnp.logical_not(singular)
 
-    subpix_x = rx.astype(jnp.float32) + off_x
-    subpix_y = ry.astype(jnp.float32) + off_y
-    subpix_s = rs.astype(jnp.float32) + off_s
+    def refine_at(kb):
+        """Walk + final tests on the first ``kb`` candidate slots, padded
+        back to ``k``. Bucketed by the live candidate count: the walk and
+        neighborhood gathers are latency-bound per element, so running
+        them at the bucket size scales refine with actual candidates."""
 
-    ctr = nb[(1, 1, 1)]
-    new_val = ctr + 0.5 * (g_x * off_x + g_y * off_y + g_s * off_s)
+        def run():
+            carry = (cand.s[:kb], cand.y[:kb], cand.x[:kb],
+                     jnp.ones((kb,), jnp.bool_), jnp.zeros((kb,), jnp.bool_))
+            # Unrolled (NB_REFINEMENT_STEPS is 5 and static): a lax.scan
+            # here pays TPU while-loop per-iteration overhead.
+            for step_i in range(NB_REFINEMENT_STEPS):
+                carry, _ = step(carry, step_i)
+            rs, ry, rx, valid, _ = carry
 
-    ok = valid
-    ok &= jnp.abs(new_val) > dog_threshold
-    ok &= ((jnp.abs(off_x) < 1.5) & (jnp.abs(off_y) < 1.5)
-           & (jnp.abs(off_s) < 1.5))
-    ok &= (subpix_x >= 0) & (subpix_x < width)
-    ok &= (subpix_y >= 0) & (subpix_y < height)
-    ok &= (subpix_s >= 0) & (subpix_s <= nb_scales + 1)
+            # Final Newton solve + acceptance tests at the stop cell.
+            # Walk stops are interior cells, so all 27 neighbors are
+            # in-bounds; fetch as 9 contiguous 3-element slices.
+            base = (rs * h + ry) * w + rx
+            nb = _gather_neighborhood(d_flat, base, h * w, w)
+            off_s, off_x, off_y, g_s, g_x, g_y, singular = _newton_step(
+                *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
+                  for c in (0, 1, 2)])
+            valid &= jnp.logical_not(singular)
 
-    # 2x2 spatial Hessian edge test (ExtractKeypoints.comp:197-206).
-    h11 = nb[(1, 1, 2)] + nb[(1, 1, 0)] - 2.0 * ctr
-    h22 = nb[(1, 2, 1)] + nb[(1, 0, 1)] - 2.0 * ctr
-    h12 = 0.25 * (nb[(1, 2, 2)] - nb[(1, 0, 2)] - nb[(1, 2, 0)]
-                  + nb[(1, 0, 0)])
-    det2 = h11 * h22 - h12 * h12
-    edgeness = jnp.where(det2 == 0.0, jnp.inf,
-                         (h11 + h22) ** 2 / jnp.where(det2 == 0.0, 1.0, det2))
-    e = edge_threshold
-    ok &= (edgeness < ((e + 1.0) ** 2 / e)) & (edgeness >= 0)
+            subpix_x = rx.astype(jnp.float32) + off_x
+            subpix_y = ry.astype(jnp.float32) + off_y
+            subpix_s = rs.astype(jnp.float32) + off_s
 
-    in_count = jnp.arange(k) < cand.count
-    ok &= in_count
+            ctr = nb[(1, 1, 1)]
+            new_val = ctr + 0.5 * (g_x * off_x + g_y * off_y + g_s * off_s)
+
+            ok = valid
+            ok &= jnp.abs(new_val) > dog_threshold
+            ok &= ((jnp.abs(off_x) < 1.5) & (jnp.abs(off_y) < 1.5)
+                   & (jnp.abs(off_s) < 1.5))
+            ok &= (subpix_x >= 0) & (subpix_x < width)
+            ok &= (subpix_y >= 0) & (subpix_y < height)
+            ok &= (subpix_s >= 0) & (subpix_s <= nb_scales + 1)
+
+            # 2x2 spatial Hessian edge test (ExtractKeypoints.comp:
+            # 197-206).
+            h11 = nb[(1, 1, 2)] + nb[(1, 1, 0)] - 2.0 * ctr
+            h22 = nb[(1, 2, 1)] + nb[(1, 0, 1)] - 2.0 * ctr
+            h12 = 0.25 * (nb[(1, 2, 2)] - nb[(1, 0, 2)] - nb[(1, 2, 0)]
+                          + nb[(1, 0, 0)])
+            det2 = h11 * h22 - h12 * h12
+            edgeness = jnp.where(
+                det2 == 0.0, jnp.inf,
+                (h11 + h22) ** 2 / jnp.where(det2 == 0.0, 1.0, det2))
+            e = edge_threshold
+            ok &= (edgeness < ((e + 1.0) ** 2 / e)) & (edgeness >= 0)
+            ok &= jnp.arange(kb) < cand.count
+
+            pad = (0, k - kb)
+            return tuple(jnp.pad(a, pad) for a in (
+                ok, subpix_x, subpix_y, subpix_s, new_val))
+        return run
+
+    sizes = bucket_sizes(k, lo=2048)
+    if len(sizes) == 1:
+        ok, subpix_x, subpix_y, subpix_s, new_val = refine_at(k)()
+    else:
+        bi = sum((cand.count > s).astype(jnp.int32) for s in sizes[:-1])
+        ok, subpix_x, subpix_y, subpix_s, new_val = jax.lax.switch(
+            bi, [refine_at(s) for s in sizes])
 
     scale_factor = 2.0 ** octave_idx
     sigma = seed_sigma * jnp.exp2(subpix_s / nb_scales) * scale_factor

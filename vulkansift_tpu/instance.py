@@ -281,10 +281,6 @@ class SiftInstance:
         self._matches_src = buf_a
         self._matches_count = None
 
-    @staticmethod
-    def _round_up(n: int) -> int:
-        return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
-
     # -- data transfer (blocking) ---------------------------------------
     def get_features_number(self, buffer_id: int) -> int:
         """Parity: vksift_getFeaturesNumber — blocks until the async

@@ -213,7 +213,8 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
             refined_list = jax.lax.optimization_barrier(refined_list)
 
         if backhalf == "pallas":
-            # Whole-pyramid fused back half (2 pallas_calls total).
+            # Whole-pyramid fused back half (atlas copies + histogram +
+            # 3 sigma-bucket descriptor kernels).
             fields, count, per_octave, lost = pallas_backhalf.run_atlas(
                 gaussians, refined_list, extract.rank_select,
                 config=cfg, oct_res=oct_res, caps=caps, capacity=capacity)

@@ -106,6 +106,59 @@ def test_scale_space_access(instance, blob_image):
         instance.download_dog_image(0, 99, 0)
 
 
+def test_match_count_snapshot_immune_to_redetect(instance, blob_image):
+    """Multi-buffer pipelining: the match count is a snapshot of buffer A's
+    count at match dispatch; re-detecting into A before the download must
+    NOT change it (regression: stale-source count resync)."""
+    instance.detect_features(blob_image, 0)
+    n_a = instance.get_features_number(0)
+    instance.detect_features(blob_image[::-1].copy(), 1)
+    instance.match_features(0, 1)
+    # Overwrite buffer A with a much smaller image before reading matches.
+    instance.detect_features(blob_image[:128, :128].copy(), 0)
+    assert instance.get_features_number(0) != n_a  # precondition
+    assert instance.get_matches_number() == n_a
+    m = instance.download_matches()
+    assert m.shape == (n_a,)
+
+
+def test_upload_invalidates_scale_space_metadata(instance, blob_image):
+    """After upload_features the buffer holds no scale-space: the octave
+    debug APIs must not answer for the previously-detected image."""
+    instance.detect_features(blob_image, 0)
+    assert instance.get_scale_space_nb_octaves(0) >= 3
+    feats = instance.download_features(0)
+    instance.upload_features(feats, 0)
+    assert instance.get_features_number(0) == len(feats)
+    assert instance.get_scale_space_nb_octaves(0) == 0
+    with pytest.raises(vs.InvalidInputError):
+        instance.get_scale_space_octave_resolution(0, 0)
+    with pytest.raises(vs.InvalidInputError):
+        instance.download_scale_space_image(0, 0, 0)
+
+
+def test_bucketed_octave_reporting_consistent(blob_image):
+    """Under resolution bucketing the debug APIs report the octave plan the
+    pipeline actually ran (== len(per_octave_counts)), not a recompute from
+    the exact resolution (which can be one octave more)."""
+    cfg = vs.SiftConfig(use_input_upsampling=False,
+                        max_nb_sift_per_buffer=2048, sift_buffer_count=1,
+                        resolution_bucket=64, retain_pyramid=False)
+    inst = vs.SiftInstance(cfg)
+    img = blob_image[:452, :610]  # pads up to 512 x 640
+    inst.detect_features(img, 0)
+    inst.get_features_number(0)  # sync
+    buf = inst._buffers[0]
+    nb = inst.get_scale_space_nb_octaves(0)
+    assert nb == len(buf.per_octave_counts)
+    for o in range(nb):
+        w, h = inst.get_scale_space_octave_resolution(o, 0)
+        assert w >= 1 and h >= 1
+    with pytest.raises(vs.InvalidInputError):
+        inst.get_scale_space_octave_resolution(nb, 0)
+    inst.close()
+
+
 def test_feature_numpy_layout_bit_compat():
     # vksift_Feature: 9 x 4-byte header fields + 128 descriptor bytes = 164
     # (reference: include/vulkansift/vulkansift_types.h:17-31).

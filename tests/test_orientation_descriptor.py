@@ -134,3 +134,27 @@ def test_full_detector_end_to_end(blob_image):
     assert (sig > 0).all()
     desc = np.asarray(feats.descriptor)[:n]
     assert desc.any(axis=1).all()  # no empty descriptors
+
+
+def test_orientation_peak_capacity_boundary():
+    """A histogram with 6 strong peaks must clamp to the configured
+    orientation capacity (config.py orientation_capacity: explicit cap, or
+    8 for 'unlimited') — the XLA analogue of the reference's
+    max_nb_orientation atomic-append cap (ComputeOrientation.comp:170-184)."""
+    import jax.numpy as jnp
+    from vulkansift_tpu.ops.orientation import peaks_from_histograms
+
+    hist = np.zeros((1, 36), np.float32)
+    hist[0, ::6] = 1.0  # 6 equally strong, well-separated peaks
+    # cap=4 (the default config): exactly 4 survive, strongest-first.
+    out4 = peaks_from_histograms(jnp.asarray(hist), 4)
+    assert int(np.asarray(out4.valid).sum()) == 4
+    # "unlimited" (cap 8): all 6 peaks survive, 2 slots stay invalid.
+    out8 = peaks_from_histograms(jnp.asarray(hist), 8)
+    assert int(np.asarray(out8.valid).sum()) == 6
+    angles = np.sort(np.asarray(out8.angles)[0][np.asarray(out8.valid)[0]])
+    expected = (np.arange(0, 36, 6) + 0.5) * (2 * np.pi / 36)
+    np.testing.assert_allclose(angles, expected, atol=1e-5)
+    # Config mapping: explicit cap passes through; 0 = unlimited -> 8.
+    assert SiftConfig(max_nb_orientation_per_keypoint=6).orientation_capacity == 6
+    assert SiftConfig(max_nb_orientation_per_keypoint=0).orientation_capacity == 8

@@ -55,7 +55,7 @@ import jax.numpy as jnp
 
 from .config import SiftConfig, get_default_config
 from .detector import SiftDetector
-from .pipeline import make_detect_fn
+from .pipeline import make_detect_fn, octave_plan
 from .errors import DeviceError, InvalidInputError, Result
 from .ops.match import match_2nn, match_2nn_auto
 from .types import (FEATURE_DTYPE, Features, Matches2NN, features_from_numpy,
@@ -112,6 +112,11 @@ class _BufferState:
     gaussians: Optional[tuple] = None
     dogs: Optional[tuple] = None
     lost: object = None  # device scalar, checked at first count access
+    # The octave resolutions the compiled pipeline ACTUALLY used (under
+    # resolution bucketing these come from the padded resolution and may be
+    # one octave fewer than the exact-resolution math); recorded at detect
+    # time so the debug APIs report what was computed, never a recompute.
+    octave_resolutions: Tuple[Tuple[int, int], ...] = ()
 
     def sync_counts(self, log) -> None:
         if self.count is None:
@@ -166,7 +171,6 @@ class SiftInstance:
             for _ in range(config.sift_buffer_count)]
         self._matches: Optional[Matches2NN] = None
         self._matches_count: Optional[int] = 0
-        self._matches_src = None
         self._closed = False
 
     # -- lifecycle ------------------------------------------------------
@@ -255,6 +259,8 @@ class SiftInstance:
         buf.lost = out.lost
         buf.input_width = valid_w
         buf.input_height = valid_h
+        buf.octave_resolutions = octave_plan(self.config, width, height,
+                                             bucketed)
         buf.gaussians = gauss
         buf.dogs = dogs
 
@@ -278,7 +284,6 @@ class SiftInstance:
         except Exception as e:  # noqa: BLE001
             self._dispatch_error(Result.DEVICE_ERROR)
             raise DeviceError("matching pipeline failure") from e
-        self._matches_src = buf_a
         self._matches_count = None
 
     # -- data transfer (blocking) ---------------------------------------
@@ -313,16 +318,22 @@ class SiftInstance:
             buf.features = features_from_numpy(
                 feats, self.config.max_nb_sift_per_buffer)
         buf.count = int(feats.shape[0])
+        # Uploaded features carry no scale-space: invalidate ALL detection
+        # metadata so the pyramid/octave debug APIs cannot silently answer
+        # for a previously-detected image (reference invalidates
+        # consistently, sift_memory.c:1197-1272).
         buf.per_octave_counts = ()
+        buf.input_width = buf.input_height = 0
+        buf.octave_resolutions = ()
         buf.gaussians = buf.dogs = None
 
     def _sync_matches_count(self) -> int:
+        # Always read the device-resident snapshot: Matches2NN.count was
+        # captured from buffer A's live count at match dispatch and cannot
+        # go stale, even if A is re-detected/re-uploaded before the download
+        # (the advertised multi-buffer pipelining pattern).
         if self._matches_count is None:
-            src = getattr(self, "_matches_src", None)
-            if src is not None:
-                src.sync_counts(logger)
-                self._matches_count = src.count
-            elif self._matches is not None:
+            if self._matches is not None:
                 self._matches_count = int(
                     jax.device_get(self._matches.count))
             else:
@@ -356,28 +367,18 @@ class SiftInstance:
 
     # -- scale-space access (debug/visualization) ------------------------
     def get_scale_space_nb_octaves(self, buffer_id: int = 0) -> int:
-        """Parity: vksift_getScaleSpaceNbOctaves. Reports the pipeline's
-        actual octave count (under resolution bucketing it can be one less
-        than the exact-resolution count)."""
+        """Parity: vksift_getScaleSpaceNbOctaves. Reports the octave plan
+        the compiled pipeline ACTUALLY ran (recorded at detect time), so it
+        always agrees with len(per_octave_counts) — under resolution
+        bucketing the recomputed exact-resolution count can differ."""
         buf = self._check_buffer(buffer_id)
-        if buf.gaussians is not None:
-            return len(buf.gaussians)
-        if buf.input_width == 0:
-            return 0
-        return self.config.max_octaves_for(buf.input_width, buf.input_height)
+        return len(buf.octave_resolutions)
 
     def get_scale_space_octave_resolution(
             self, octave: int, buffer_id: int = 0) -> Tuple[int, int]:
         """Parity: vksift_getScaleSpaceOctaveResolution."""
         buf = self._check_buffer(buffer_id)
-        if buf.gaussians is not None:
-            if not (0 <= octave < len(buf.gaussians)):
-                self._dispatch_error(Result.INVALID_INPUT_ERROR)
-                raise InvalidInputError(f"octave {octave} out of range")
-            g = buf.gaussians[octave]
-            return int(g.shape[2]), int(g.shape[1])
-        res = self.config.octave_resolutions(buf.input_width,
-                                             buf.input_height)
+        res = buf.octave_resolutions
         if not (0 <= octave < len(res)):
             self._dispatch_error(Result.INVALID_INPUT_ERROR)
             raise InvalidInputError(f"octave {octave} out of range")

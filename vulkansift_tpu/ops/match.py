@@ -33,7 +33,10 @@ import jax.numpy as jnp
 
 from ..types import Matches2NN
 
-_INF = jnp.float32(jnp.inf)
+# Plain Python float, NOT jnp.float32(...): a module-level device
+# constant would initialize the JAX backend at import time, which
+# breaks jax.distributed.initialize (must run before backend init).
+_INF = float("inf")
 
 
 def _top2_of_tile(d2: jax.Array, col_offset: jax.Array

@@ -28,10 +28,15 @@ def make_dp_detect_fn(config: SiftConfig, width: int, height: int,
     dim on every output leaf; B must be divisible by the mesh axis size.
     """
     detect = make_detect_fn(config, width, height, backhalf=backhalf)
-    local_batched = jax.vmap(detect)
 
     def local_fn(images):
-        return local_batched(images)
+        # lax.map of the FULL single-image program, NOT vmap: the chip runs
+        # one image at a time either way, and vmapping forfeits the Pallas
+        # kernels (dynamic-grid frontend can't be vmapped; vmapped back-half
+        # grids run at worst-case size) — measured 2.3x slower per frame
+        # (see pipeline.make_detect_batched). Each device scans its local
+        # sub-batch with the same per-frame cost as the single-image path.
+        return jax.lax.map(detect, images)
 
     sharded = shard_map(
         local_fn, mesh=mesh,

@@ -29,7 +29,10 @@ from jax import shard_map
 from ..ops.match import _merge_top2, _top2_of_tile
 from ..types import Matches2NN
 
-_INF = jnp.float32(jnp.inf)
+# Plain Python float, NOT jnp.float32(...): a module-level device
+# constant would initialize the JAX backend at import time, which
+# breaks jax.distributed.initialize (must run before backend init).
+_INF = float("inf")
 
 
 def make_ring_match_fn(mesh: Mesh, axis_name: str = "data"):
@@ -37,7 +40,11 @@ def make_ring_match_fn(mesh: Mesh, axis_name: str = "data"):
 
     Returned signature matches :func:`vulkansift_tpu.ops.match.match_2nn`:
     ``fn(desc_a u8[NA,128], count_a, desc_b u8[NB,128], count_b) ->
-    Matches2NN`` where NA and NB must be divisible by the mesh axis size.
+    Matches2NN`` for ARBITRARY NA/NB: descriptors are padded internally to
+    the next mesh-axis multiple (zero rows, masked out by the live counts),
+    so raw detect outputs are directly matchable — the same contract as the
+    single-chip ``match_2nn``. Output capacity is the padded NA; rows at
+    index >= count_a are meaningless, as in the single-chip matcher.
     ``desc_a``/outputs are sharded over rows; ``desc_b`` is sharded over rows
     and streamed around the ring.
     """
@@ -97,6 +104,21 @@ def make_ring_match_fn(mesh: Mesh, axis_name: str = "data"):
 
     @jax.jit
     def ring_match(desc_a, count_a, desc_b, count_b) -> Matches2NN:
+        # Pad row counts to mesh-axis multiples (static shapes, so this is
+        # free glue); the live counts mask the zero rows — padded B columns
+        # have global index >= count_b and can never win the top-2, padded
+        # A rows land at index >= count_a where results are undefined by
+        # contract.
+        pad_a = (-desc_a.shape[0]) % n
+        pad_b = (-desc_b.shape[0]) % n
+        if pad_a:
+            desc_a = jnp.concatenate(
+                [desc_a, jnp.zeros((pad_a, desc_a.shape[1]),
+                                   desc_a.dtype)], axis=0)
+        if pad_b:
+            desc_b = jnp.concatenate(
+                [desc_b, jnp.zeros((pad_b, desc_b.shape[1]),
+                                   desc_b.dtype)], axis=0)
         idx_a, i1, i2, d1, d2_ = sharded(
             desc_a, jnp.asarray(count_a, jnp.int32),
             desc_b, jnp.asarray(count_b, jnp.int32))

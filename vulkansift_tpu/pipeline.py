@@ -104,6 +104,23 @@ def _backhalf_xla(gaussians_o, refined, *, cfg: SiftConfig, ow: int, oh: int,
     ), pair_count, pair_total
 
 
+def octave_plan(config: SiftConfig, width: int, height: int,
+                bucketed: bool = False) -> Tuple[Tuple[int, int], ...]:
+    """The per-octave (width, height) sizes the compiled pipeline will use
+    for this (possibly bucket-padded) resolution. Under bucketing the octave
+    count is derived conservatively from the smallest resolution mapping to
+    the bucket (one program serves the whole bucket), so it can be one less
+    than the exact-resolution count — the instance records this plan per
+    buffer so the debug APIs report what was actually computed."""
+    oct_res = config.octave_resolutions(width, height)
+    if bucketed:
+        b = config.resolution_bucket
+        n_cap = config.max_octaves_for(max(width - b + 1, 32),
+                                       max(height - b + 1, 32))
+        oct_res = oct_res[:n_cap]
+    return oct_res
+
+
 def make_detect_fn(config: SiftConfig, width: int, height: int,
                    *, return_pyramid: bool = False,
                    backhalf: str = "auto", batched: bool = False,
@@ -132,12 +149,7 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
     """
     cfg = config
     s = cfg.nb_scales_per_octave
-    oct_res = cfg.octave_resolutions(width, height)
-    if bucketed:
-        b = cfg.resolution_bucket
-        n_cap = cfg.max_octaves_for(max(width - b + 1, 32),
-                                    max(height - b + 1, 32))
-        oct_res = oct_res[:n_cap]
+    oct_res = octave_plan(cfg, width, height, bucketed)
     nb_oct = len(oct_res)
     caps = cfg.octave_section_capacities(nb_oct)
     oct_shapes = tuple((h, w) for (w, h) in oct_res)

@@ -75,22 +75,30 @@ def reconstruct_sequence(
         ransac_threshold: float = 2e-5,
         min_track_views: int = 2,
         ba_iters: int = 30,
+        max_pairs_gap: int = 1,
+        pose_graph_iters: int = 15,
         seed: int = 0) -> Reconstruction:
     """Reconstruct a camera trajectory + sparse map from per-frame features.
 
     Args:
       features: per-frame FEATURE_DTYPE structured arrays (x, y used).
       camera: shared pinhole intrinsics.
+      max_pairs_gap: match frames (i, j) with j - i <= gap. 1 = consecutive
+        only; larger gaps add loop-closure edges, which feed a pose-graph
+        optimization (:mod:`.pose_graph`) before triangulation/BA.
+      pose_graph_iters: Gauss-Newton iterations for the pose graph (only
+        runs when non-consecutive relative-pose edges exist).
 
-    Pipeline: consecutive-pair essential-matrix RANSAC -> pose chaining ->
-    union-find track building -> linear triangulation -> LM bundle
-    adjustment (matrix-free Schur). Scale is fixed by unit baselines
-    between consecutive views (monocular gauge).
+    Pipeline: pairwise essential-matrix RANSAC -> pose chaining ->
+    pose-graph optimization over ALL relative-pose edges (when loop
+    closures exist) -> union-find track building -> linear triangulation ->
+    LM bundle adjustment (matrix-free Schur). Scale is fixed by unit
+    baselines between consecutive views (monocular gauge).
     """
     nb = len(features)
     assert nb >= 2, "need at least two frames"
     key = jax.random.PRNGKey(seed)
-    matches = _pairwise_matches(features, ratio)
+    matches = _pairwise_matches(features, ratio, max_pairs_gap=max_pairs_gap)
 
     # --- relative poses for consecutive pairs + inlier masks -------------
     rel = {}
@@ -131,6 +139,47 @@ def reconstruct_sequence(
                              rp.r @ prev.t + rp.t))
         else:
             poses.append(poses[i - 1])
+
+    # --- pose-graph optimization over loop-closure edges -----------------
+    # Chaining accumulates drift; non-consecutive relative-pose edges
+    # (loop closures) constrain it. Nodes are the INVERSE poses
+    # S_i = T_i^{-1} so that the graph convention Z_ij = S_i^{-1} S_j
+    # equals rel_ij^{-1} (rel_ij = T_j T_i^{-1} from two-view geometry) —
+    # a pure measurement, independent of the estimates. Unit-baseline
+    # measured translations are rescaled to the chained estimate's edge
+    # baseline (monocular scale is unobservable per edge).
+    has_loops = any(j - i > 1 for (i, j) in rel)
+    if has_loops and pose_graph_iters > 0:
+        from .pose_graph import PoseGraph, optimize_pose_graph
+        inv_tangents = np.stack([
+            np.asarray(SE3(jnp.asarray(p.r),
+                           jnp.asarray(p.t)).inverse().log())
+            for p in poses]).astype(np.float32)
+        ei, ej, meas, wt = [], [], [], []
+        for (i, j), rp in rel.items():
+            er = poses[i].r @ poses[j].r.T           # est T_i T_j^{-1}
+            et = poses[i].t - er @ poses[j].t
+            scale = float(np.linalg.norm(et))
+            mr = rp.r.T                              # rel_ij^{-1}
+            mt = -rp.r.T @ rp.t
+            mt = mt * (scale / max(float(np.linalg.norm(mt)), 1e-9))
+            meas.append(np.asarray(
+                SE3(jnp.asarray(mr), jnp.asarray(mt)).log()))
+            ei.append(i)
+            ej.append(j)
+            wt.append(float(inliers[(i, j)].sum()))
+        graph = PoseGraph(
+            poses=jnp.asarray(inv_tangents),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            meas=jnp.asarray(np.stack(meas), jnp.float32),
+            weight=jnp.asarray(wt, jnp.float32) / max(max(wt), 1.0))
+        opt = optimize_pose_graph(graph, nb_iters=pose_graph_iters)
+        opt_tangents = np.asarray(opt.poses)
+        poses = []
+        for t in opt_tangents:
+            s = SE3.from_tangent(jnp.asarray(t)).inverse()
+            poses.append(SE3(np.asarray(s.r), np.asarray(s.t)))
 
     # --- tracks via union-find over inlier matches ------------------------
     offsets = np.cumsum([0] + [len(f) for f in features])

@@ -102,6 +102,27 @@ def _emit(fps, dt_ms, lat_ms, n, note=""):
     sys.stdout.flush()
 
 
+def _emit_northstar(fps, dt_ms, n):
+    """Secondary metric line (printed BEFORE the headline): BASELINE north
+    star #1 is frames/s/chip on 640x480 Oxford-sized detection. The
+    reference's RTX 2060 Oxford data is plot-only
+    (docs/Performances.md:39-52, perf_runtime_oxford_640x480.png); reading
+    the VulkanSift curve at this config's ~2.5k detected features gives
+    ~6.8 ms — that is the bar for this line."""
+    ns_baseline_ms = 6.8
+    line = json.dumps({
+        "metric": "sift_detect_fps_640x480",
+        "value": round(fps, 2),
+        "unit": (f"frames/s pipelined ({dt_ms:.2f} ms/frame; {n} feats; "
+                 f"north-star config: no upsampling, 4k buffer; ref "
+                 f"RTX2060 Oxford plot ~{ns_baseline_ms} ms at this "
+                 f"feature count)"),
+        "vs_baseline": round(fps * ns_baseline_ms / 1e3, 3),
+    })
+    print(line)
+    sys.stdout.flush()
+
+
 def _retry(fn, what, retries=RETRIES, on_reset=None):
     """Run fn() with retry-with-backoff; on_reset() rebuilds state between
     attempts (e.g. re-jit after a backend FAILED_PRECONDITION crash)."""
@@ -138,6 +159,35 @@ def main():
 
     build()
     imgs = [jnp.asarray(_bench_image(H, W, seed=s)) for s in range(2)]
+
+    # --- secondary metric: 640x480 north-star config (BASELINE #1) -------
+    # Measured FIRST so a late failure still leaves the headline as the
+    # LAST printed JSON line (the driver parses the last line).
+    if os.environ.get("BENCH_SKIP_NORTHSTAR") != "1":
+        try:
+            ns_cfg = SiftConfig(use_input_upsampling=False,
+                                max_nb_sift_per_buffer=4096,
+                                sift_buffer_count=2,
+                                input_image_max_size=640 * 480)
+            ns_detect = jax.jit(make_detect_fn(ns_cfg, 640, 480))
+            ns_imgs = [jnp.asarray(_bench_image(480, 640, seed=s))
+                       for s in range(2)]
+            ns_n = _retry(
+                lambda: int(ns_detect(ns_imgs[0]).features.count),
+                "north-star compile+sync")
+            def measure_ns():
+                for _ in range(WARMUP):
+                    outs = [ns_detect(ns_imgs[i % 2]) for i in range(BATCH)]
+                    jax.device_get([o.features.count for o in outs])
+                t0 = time.perf_counter()
+                for _ in range(BATCHES):
+                    outs = [ns_detect(ns_imgs[i % 2]) for i in range(BATCH)]
+                    jax.device_get([o.features.count for o in outs])
+                return (time.perf_counter() - t0) / (BATCHES * BATCH)
+            ns_dt = _retry(measure_ns, "north-star measurement")
+            _emit_northstar(1.0 / ns_dt, ns_dt * 1e3, ns_n)
+        except Exception:  # noqa: BLE001
+            traceback.print_exc(limit=2, file=sys.stderr)
 
     # First compile + sync — the round-1 crash site; retried with rebuild.
     n = _retry(lambda: int(state["detect"](imgs[0]).features.count),

@@ -166,6 +166,32 @@ def test_feature_numpy_layout_bit_compat():
     assert vs.MATCH_DTYPE.itemsize == 20  # 3 u32 + 2 f32
 
 
+def test_auto_bucketing_default(blob_image):
+    """resolution_bucket=0 (the default): the first two distinct
+    resolutions compile exact programs; a third NEW resolution switches to
+    a bucket-64 program, bounding compiles for mixed-resolution sweeps."""
+    cfg = vs.SiftConfig(use_input_upsampling=False,
+                        max_nb_sift_per_buffer=2048,
+                        sift_buffer_count=1,
+                        input_image_max_size=1 << 22)
+    assert cfg.resolution_bucket == 0
+    inst = vs.SiftInstance(cfg)
+    imgs = [blob_image[:128, :160], blob_image[:120, :150],
+            blob_image[:110, :140], blob_image[:105, :130]]
+    for img in imgs:
+        inst.detect_features(img, 0)
+        assert inst.get_features_number(0) >= 0
+    keys = list(inst._detect_cache)
+    # Two exact programs + ONE shared bucketed program (all later
+    # resolutions pad to the same 192x128 bucket).
+    assert [k[2] for k in keys] == [False, False, True]
+    assert keys[2][:2] == (192, 128)
+    # Exact resolutions keep hitting their exact programs.
+    inst.detect_features(imgs[0], 0)
+    assert len(inst._detect_cache) == 3
+    inst.close()
+
+
 def test_resolution_bucketing_bounds_compiles(blob_image):
     """resolution_bucket > 1: images in the same bucket share one compiled
     pipeline; detected keypoints stay inside the true image region and

@@ -110,8 +110,12 @@ class SiftConfig:
     # Round input resolutions up to multiples of this bucket so XLA compiles
     # a bounded number of program shapes (the TPU analogue of the reference's
     # image re-creation on preallocated memory, sift_memory.c:891-924).
-    # 1 = compile per exact resolution.
-    resolution_bucket: int = 1
+    # 0 = AUTO (default): the first two distinct resolutions get exact
+    # programs (bit-identical to bucket 1 for the common fixed-resolution
+    # workloads); further new resolutions switch to bucket-64 programs so a
+    # mixed-resolution sweep compiles a bounded set. Measured quality drift
+    # of the bucketed path: results/bucket_drift.txt. 1 = always exact.
+    resolution_bucket: int = 0
     # Max distinct compiled (width, height) pipeline executables kept per
     # instance (LRU). The reference bounds allocations at creation via
     # input_image_max_size; under XLA each distinct padded resolution is a
@@ -155,7 +159,8 @@ class SiftConfig:
               "invalid scale-space pyramid format precision specified")
         check(isinstance(self.descriptor_format, DescriptorFormat),
               "invalid descriptor format specified")
-        check(self.resolution_bucket >= 1, "resolution bucket must be >= 1")
+        check(self.resolution_bucket >= 0,
+              "resolution bucket must be >= 0 (0 = auto)")
         check(self.detect_cache_size >= 1,
               "detect cache size must be >= 1")
 

@@ -11,7 +11,7 @@ This module is deliberately unoptimized; run it on small images only.
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -333,3 +333,70 @@ def match_2nn_np(desc_a: np.ndarray, desc_b: np.ndarray) -> np.ndarray:
                 d2, i2 = d, j
         out[i] = (i1, i2, math.sqrt(d1), math.sqrt(d2))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full-image detection (composition of the stages above)
+# ---------------------------------------------------------------------------
+
+def _extrema_dense_np(dog: np.ndarray, dog_threshold: float) -> np.ndarray:
+    """Vectorized strict 26-neighbor extremum mask; same semantics as
+    :func:`extrema_np` (kept separate: the scalar version is the oracle the
+    kernel tests cite; this one exists so full-image detection is usable as
+    a perf-harness wrapper). Returns (K, 3) int (s, y, x), raster order."""
+    d = dog.astype(np.float64)
+    ns, h, w = d.shape
+    c = d[1:-1, 1:-1, 1:-1]
+    nb_max = np.full_like(c, -np.inf)
+    nb_min = np.full_like(c, np.inf)
+    for ds in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == dy == dx == 0:
+                    continue
+                nb = d[1 + ds:ns - 1 + ds, 1 + dy:h - 1 + dy,
+                       1 + dx:w - 1 + dx]
+                np.maximum(nb_max, nb, out=nb_max)
+                np.minimum(nb_min, nb, out=nb_min)
+    mask = (np.abs(c) > dog_threshold * 0.8) & ((c > nb_max) | (c < nb_min))
+    s, y, x = np.nonzero(mask)
+    return np.stack([s + 1, y + 1, x + 1], axis=1)
+
+
+def detect_np(image: np.ndarray, config: SiftConfig,
+              max_features: Optional[int] = None) -> List[dict]:
+    """Full float64 SIFT detection: pyramid -> extrema -> refine ->
+    orientations -> descriptors. Returns a list of feature dicts with the
+    vksift_Feature fields. Slow (reference oracle, not a product path);
+    used by the perf harness as an independent CPU implementation
+    (the VLFeat-slot analogue in src/perf/perf_common.cpp:42-61)."""
+    cfg = config
+    s_per = cfg.nb_scales_per_octave
+    gaussians, dogs = build_pyramid_np(image, cfg)
+    thr = cfg.dog_threshold / s_per
+    feats: List[dict] = []
+    for o, (g, d) in enumerate(zip(gaussians, dogs)):
+        octave_idx = o - (1 if cfg.use_input_upsampling else 0)
+        _, oh, ow = d.shape
+        for (s, y, x) in _extrema_dense_np(d, thr):
+            r = refine_np(d, int(s), int(y), int(x), nb_scales=s_per,
+                          width=ow, height=oh, dog_threshold=thr,
+                          edge_threshold=cfg.edge_threshold,
+                          seed_sigma=cfg.seed_scale_sigma,
+                          octave_idx=octave_idx)
+            if r is None:
+                continue
+            sigma_oct = cfg.seed_scale_sigma * 2.0 ** (
+                r["subpix_s"] / s_per)
+            layer = int(np.clip(r["scale_idx"], 0, s_per + 1))
+            oris = orientations_np(g[layer], r["scale_x"], r["scale_y"],
+                                   sigma_oct, cfg.orientation_capacity)
+            for angle, _peak in oris:
+                desc = descriptor_np(
+                    g[layer], r["scale_x"], r["scale_y"], sigma_oct, angle,
+                    use_vlfeat=cfg.descriptor_format.value == 1)
+                feats.append(dict(r, orientation=angle, descriptor=desc,
+                                  octave_idx=octave_idx))
+                if max_features and len(feats) >= max_features:
+                    return feats
+    return feats

@@ -64,6 +64,12 @@ from .utils.logging import logger
 
 _runtime_loaded = False
 
+# AUTO resolution bucketing (config.resolution_bucket == 0): number of
+# distinct resolutions that get exact programs before new resolutions
+# switch to bucketed ones, and the bucket they then use.
+_AUTO_EXACT = 2
+_AUTO_BUCKET = 64
+
 
 def load_runtime() -> Result:
     """Probe the accelerator runtime (parity: vksift_loadVulkan,
@@ -166,6 +172,9 @@ class SiftInstance:
         # (config.detect_cache_size; resolution_bucket reduces distinct
         # keys in the first place).
         self._detect_cache = collections.OrderedDict()
+        # Resolutions granted exact (unbucketed) programs in AUTO bucketing
+        # mode (config.resolution_bucket == 0); see detect_features.
+        self._exact_resolutions: set = set()
         self._buffers: List[_BufferState] = [
             _BufferState(features=Features.empty(config.max_nb_sift_per_buffer))
             for _ in range(config.sift_buffer_count)]
@@ -221,13 +230,30 @@ class SiftInstance:
             self._dispatch_error(Result.INVALID_INPUT_ERROR)
             raise InvalidInputError("image dimensions must be >= 32")
         b = self.config.resolution_bucket
+        if b == 0:
+            # AUTO (the default): the first _AUTO_EXACT distinct resolutions
+            # compile exact programs (single-/dual-resolution workloads stay
+            # bit-identical to resolution_bucket=1); any further NEW
+            # resolution switches to bucket-64 programs so mixed-resolution
+            # sweeps compile a bounded set — the TPU analogue of the
+            # reference's zero-cost image re-creation on preallocated
+            # memory (sift_memory.c:891-924). Measured quality drift of the
+            # bucketed path: results/bucket_drift.txt.
+            if ((width, height) in self._exact_resolutions
+                    or len(self._exact_resolutions) < _AUTO_EXACT):
+                self._exact_resolutions.add((width, height))
+                b = 1
+            else:
+                b = _AUTO_BUCKET
         valid_w, valid_h = width, height
         bucketed = b > 1
         if bucketed and (width % b or height % b):
             pw, ph = -width % b, -height % b
             image = np.pad(image, ((0, ph), (0, pw)), mode="edge")
             height, width = image.shape
-        key = (width, height)
+        # The bucket flag is part of the key: an exact (W, H) program and a
+        # bucketed one padded to the same (W, H) take different arguments.
+        key = (width, height, bucketed)
         try:
             with jax.default_device(self.device):
                 if key in self._detect_cache:
@@ -236,7 +262,7 @@ class SiftInstance:
                     self._detect_cache[key] = jax.jit(make_detect_fn(
                         self.config, width, height,
                         return_pyramid=self.config.retain_pyramid,
-                        bucketed=bucketed))
+                        bucket=b))
                     while (len(self._detect_cache)
                            > self.config.detect_cache_size):
                         self._detect_cache.popitem(last=False)
@@ -259,8 +285,7 @@ class SiftInstance:
         buf.lost = out.lost
         buf.input_width = valid_w
         buf.input_height = valid_h
-        buf.octave_resolutions = octave_plan(self.config, width, height,
-                                             bucketed)
+        buf.octave_resolutions = octave_plan(self.config, width, height, b)
         buf.gaussians = gauss
         buf.dogs = dogs
 

@@ -57,6 +57,10 @@ _N_COPIES = 4          # lane-shift copies (32-lane granularity)
 _SHIFT = 128 // _N_COPIES
 _N_BUF = 8             # DMA multi-buffering slots
 _PREFETCH = 7          # DMA prefetch distance (< _N_BUF)
+# Largest descriptor window edge eligible for the 2-pairs-per-window
+# lane-packed kernel: each pair's window (content + gradient ring) must fit
+# one 64-lane half after the in-kernel repositioning roll.
+_PACK_MAX_EDGE = 64
 
 
 # ---------------------------------------------------------------------------
@@ -112,14 +116,34 @@ def ori_window_edge(sigma_oct_max: float) -> int:
     return 2 * (r + 1) + 1
 
 
+def _max_subpix_for_edge(config: SiftConfig, max_edge: int) -> float:
+    """Largest subpix_s whose descriptor window edge fits ``max_edge``
+    (edge is monotone in sigma; bisect to float precision)."""
+    lo, hi = 0.0, float(config.nb_scales_per_octave + 1)
+    if desc_window_edge(_sigma_max(config, hi)) <= max_edge:
+        return hi
+    for _ in range(50):
+        mid = 0.5 * (lo + hi)
+        if desc_window_edge(_sigma_max(config, mid)) <= max_edge:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
 def _sigma_splits(config: SiftConfig) -> Tuple[float, float]:
     """subpix_s thresholds splitting pairs into 3 window-size buckets.
 
     Smaller windows for the common low-sigma keypoints: per-pair kernel
     cost is linear in window area (measured on v5e), and the subpix_s
-    distribution concentrates near the low scales."""
+    distribution concentrates near the low scales. The second split is
+    pinned to the largest sigma whose window edge fits a 64-lane half
+    (when that is feasible), so buckets 0 AND 1 qualify for the 2-pair
+    lane-packed kernel (see _make_desc_kernel_packed)."""
     hi = config.nb_scales_per_octave + 1
-    return (hi / 3.0, 2.0 * hi / 3.0)
+    s2_pack = _max_subpix_for_edge(config, _PACK_MAX_EDGE)
+    s2 = s2_pack if hi / 3.0 < s2_pack < hi else 2.0 * hi / 3.0
+    return (min(hi / 3.0, s2), s2)
 
 
 def _sigma_max(config: SiftConfig, subpix_s: float) -> float:
@@ -143,17 +167,25 @@ class _KernelGeom(NamedTuple):
     w32: int  # padded atlas cols (128-multiple)
 
 
-# Packed DMA-address word: cidx (2b) | layer (3b) | ys/8 (11b) | ax/128 (rest)
+# Packed DMA-address word: cidx (2b) | layer (3b) | ys/8 (11b) | ax/128 (7b)
+# | delta+32 (7b). delta = (cx - r1) - window_start is only set (and read)
+# by the 2-pair packed descriptor kernel, which repositions each pair's
+# window with a lane roll. Field widths bound the atlas at 16384 rows and
+# 16256 cols (asserted in run_atlas).
 _ADDR_LAYER_SHIFT = 2
 _ADDR_YS_SHIFT = 5
 _ADDR_AX_SHIFT = 16
+_ADDR_SH_SHIFT = 23
 
 
-def pack_addr(cidx, layer, ys, ax):
-    # cidx is the 64-lane shift-copy index (0 or 1).
-    return (cidx + (layer << _ADDR_LAYER_SHIFT)
-            + ((ys // 8) << _ADDR_YS_SHIFT)
-            + ((ax // 128) << _ADDR_AX_SHIFT)).astype(jnp.int32)
+def pack_addr(cidx, layer, ys, ax, delta=None):
+    # cidx is the lane shift-copy index.
+    w = (cidx + (layer << _ADDR_LAYER_SHIFT)
+         + ((ys // 8) << _ADDR_YS_SHIFT)
+         + ((ax // 128) << _ADDR_AX_SHIFT))
+    if delta is not None:
+        w = w + ((delta + 32) << _ADDR_SH_SHIFT)
+    return w.astype(jnp.int32)
 
 
 def _copies_kernel(src_ref, out_ref):
@@ -194,26 +226,38 @@ def make_shifted_copies(atlas: jax.Array) -> jax.Array:
 # Shared kernel machinery
 # ---------------------------------------------------------------------------
 
-def _dma_machinery(count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp):
+def _dma_machinery(count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp,
+                   *, clamp_to_count=False):
     """Returns (start_dma, wait_current) closures for the standard
-    multi-buffered window-DMA pattern."""
+    multi-buffered window-DMA pattern.
+
+    ``clamp_to_count``: always start the DMA, clamping the address index to
+    the last live entry — for kernels that consume a fixed number of
+    entries per grid step and must be able to WAIT on a slot whose entry
+    index is past the live count (the packed 2-pair kernel's odd tail)."""
     wr, wc = geom.wr, geom.wc
 
+    def _start(idx, i):
+        a = addr_ref[idx]
+        cidx = jax.lax.rem(a, 4)
+        layer = jax.lax.rem(a >> _ADDR_LAYER_SHIFT, 8)
+        ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
+        ax = jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
+        slot = jax.lax.rem(i, _N_BUF)
+        pltpu.make_async_copy(
+            gauss_ref.at[cidx, layer,
+                         pl.ds(pl.multiple_of(ys, 8), wr),
+                         pl.ds(pl.multiple_of(ax, 128), wc)],
+            wscr.at[slot], sems.at[slot]).start()
+
     def start_dma(i):
-        @pl.when(i < count_ref[0])
-        def _():
-            idx = jnp.minimum(i, capp - 1)
-            a = addr_ref[idx]
-            cidx = jax.lax.rem(a, 4)
-            layer = jax.lax.rem(a >> _ADDR_LAYER_SHIFT, 8)
-            ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
-            ax = (a >> _ADDR_AX_SHIFT) * 128
-            slot = jax.lax.rem(i, _N_BUF)
-            pltpu.make_async_copy(
-                gauss_ref.at[cidx, layer,
-                             pl.ds(pl.multiple_of(ys, 8), wr),
-                             pl.ds(pl.multiple_of(ax, 128), wc)],
-                wscr.at[slot], sems.at[slot]).start()
+        if clamp_to_count:
+            _start(jnp.clip(jnp.minimum(i, count_ref[0] - 1), 0, capp - 1),
+                   i)
+        else:
+            @pl.when(i < count_ref[0])
+            def _():
+                _start(jnp.minimum(i, capp - 1), i)
 
     def wait_current(step):
         slot = jax.lax.rem(step, _N_BUF)
@@ -236,7 +280,8 @@ def _window_fields(win, step, addr_ref, meta, geom):
 
     a = addr_ref[step]
     ys0 = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
-    ss0 = (a >> _ADDR_AX_SHIFT) * 128 + jax.lax.rem(a, 4) * _SHIFT
+    ss0 = (jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
+           + jax.lax.rem(a, 4) * _SHIFT)
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
@@ -401,25 +446,33 @@ def _make_desc_kernel(geom: _KernelGeom, capp: int, use_vlfeat: bool):
                 [x[:, t * 128:(t + 1) * 128].reshape(1, n)
                  for t in range(wc // 128)], axis=1)
 
-        u = jnp.concatenate(
-            [flat(jnp.maximum(0.0, 1.0 - jnp.abs(ty - c)) * wm)
-             for c in range(NB_HIST)], axis=0)           # (4, N)
+        # desc[cy, cx, o] = sum_p hy[cy]*wm * hx[cx] * wo[o] — a 3-way
+        # contraction. Grouping it as (hy*wm*hx: 16 rows) @ (wo: 8 rows)^T
+        # instead of (hy*wm: 4 rows) @ (hx*wo: 32 rows)^T builds 24 flat
+        # rows instead of 36 and does 16+8 window-sized multiplies instead
+        # of 4+32 — ~25% less VPU work in the hottest kernel, identical
+        # 128-MAC/pixel MXU cost. Output lands as (16, 8); the row-major
+        # flatten (cy*4+cx)*8+o == cy*32+cx*8+o matches the (4, 32) layout
+        # exactly, so the XLA-side reshape is free.
+        uy = [jnp.maximum(0.0, 1.0 - jnp.abs(ty - c)) * wm
+              for c in range(NB_HIST)]
         wx = [jnp.maximum(0.0, 1.0 - jnp.abs(tx - c))
               for c in range(NB_HIST)]
-        wo = []
-        for o in range(NB_ORI):
-            od = jnp.abs(fb - o)
-            wo.append(jnp.maximum(0.0, 1.0 - jnp.minimum(od, NB_ORI - od)))
-        vmat = jnp.concatenate(
-            [flat(wx[c] * wo[o]) for c in range(NB_HIST)
-             for o in range(NB_ORI)], axis=0)            # (32, N)
+        w16 = jnp.concatenate(
+            [flat(uy[cy] * wx[cx]) for cy in range(NB_HIST)
+             for cx in range(NB_HIST)], axis=0)          # (16, N)
+        o8 = jnp.concatenate(
+            [flat(jnp.maximum(
+                0.0, 1.0 - jnp.minimum(jnp.abs(fb - o),
+                                       NB_ORI - jnp.abs(fb - o))))
+             for o in range(NB_ORI)], axis=0)            # (8, N)
         # Explicit bf16 operands = single MXU pass; accumulation stays f32.
         # Per-element rel err ~4e-3 averages out over the ~1e3 contributing
         # pixels — well under one u8 descriptor bin after quantization.
         acc = jax.lax.dot_general(
-            u.astype(jnp.bfloat16), vmat.astype(jnp.bfloat16),
+            w16.astype(jnp.bfloat16), o8.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (4, 32)
+            preferred_element_type=jnp.float32)          # (16, 8)
         desc_ref[0] = acc
 
     return kernel
@@ -428,7 +481,8 @@ def _make_desc_kernel(geom: _KernelGeom, capp: int, use_vlfeat: bool):
 def descriptor_tpu(gauss4: jax.Array, count: jax.Array, addr: jax.Array,
                    meta: jax.Array, *, geom: _KernelGeom,
                    use_vlfeat: bool) -> jax.Array:
-    """Raw (unnormalized) descriptors (capp, 4, 32) for ``count`` pairs.
+    """Raw (unnormalized) descriptors (capp, 16, 8) for ``count`` pairs
+    (row-major flatten == the (4, 32) [cy][cx*8+o] bin layout).
     Rows at index >= count are UNWRITTEN garbage; callers must mask."""
     capp = addr.shape[0]
     if capp % 8:
@@ -446,7 +500,7 @@ def descriptor_tpu(gauss4: jax.Array, count: jax.Array, addr: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, NB_HIST, NB_HIST * NB_ORI),
+        out_specs=pl.BlockSpec((1, NB_HIST * NB_HIST, NB_ORI),
                                lambda i, *s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -456,11 +510,208 @@ def descriptor_tpu(gauss4: jax.Array, count: jax.Array, addr: jax.Array,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((capp_p, NB_HIST, NB_HIST * NB_ORI),
+        out_shape=jax.ShapeDtypeStruct((capp_p, NB_HIST * NB_HIST, NB_ORI),
                                        jnp.float32),
         grid_spec=grid_spec,
     )(count.reshape(1), addr, meta, gauss4)
     return out[:capp]
+
+
+# ---------------------------------------------------------------------------
+# K2-packed: 2 descriptor pairs per grid step (window edge <= 64 lanes)
+# ---------------------------------------------------------------------------
+
+def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
+                             use_vlfeat: bool):
+    """2 pairs per grid step, one per 64-lane half.
+
+    The unpacked kernel is VPU-compute bound and its ops run on full
+    (wr, 128) vectors while a bucket-0/1 window only occupies ``edge`` + 31
+    alignment-slack lanes — >= 56 lanes of every row are dead. Here each
+    step DMAs BOTH pairs' windows, repositions them with dynamic lane
+    rolls (pair A's content to lane 0, pair B's to lane 64), lane-selects
+    into ONE combined window, and runs the per-pixel math once — per-pair
+    VPU cost ~halves. The contraction splits the orientation rows into
+    A-masked and B-masked blocks so acc (16, 16) holds pair A's descriptor
+    in columns 0..7 and pair B's in 8..15.
+
+    Wrap-garbage safety (requires edge <= 64, i.e. r1 <= 31): the roll
+    deltas satisfy -r1 <= delta <= 72 (window-start clamps included), so
+    wrapped lanes either fall outside the structural half masks
+    (A: jj in [1, 62], B: jj in [65, 126]) or carry px that the
+    image-interior (px >= 1, px <= xhi) or radius (|dxi| <= drad <= r1-1)
+    masks reject.
+    """
+    wr, wc = geom.wr, geom.wc
+    assert wc == 128 and edge <= _PACK_MAX_EDGE
+    n = wr * 128
+    half_cells = NB_HIST / 2.0
+    r1 = (edge - 1) // 2
+
+    def kernel(count_ref, addr_ref, meta_ref, gauss_ref, desc_ref,
+               wscr, sems):
+        step = pl.program_id(0)
+        start_dma, wait_current = _dma_machinery(
+            count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp,
+            clamp_to_count=True)
+
+        # 2 DMAs in flight per step: prefetch 3 steps (6 pairs) ahead so
+        # at most _N_BUF (8) slots are ever outstanding.
+        @pl.when(step == 0)
+        def _():
+            for p in range(6):
+                start_dma(jnp.int32(p))
+
+        start_dma(2 * step + 6)
+        start_dma(2 * step + 7)
+        wa = wait_current(2 * step)
+        wb = wait_current(2 * step + 1)
+
+        mrow = jax.lax.rem(2 * step, 8)
+        ma = meta_ref[mrow]          # (1, 16) pair A metadata
+        mb = meta_ref[mrow + 1]      # (1, 16) pair B metadata
+
+        def dec(i):
+            a = addr_ref[jnp.clip(jnp.minimum(i, count_ref[0] - 1), 0,
+                                  capp - 1)]
+            ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
+            ss = (jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
+                  + jax.lax.rem(a, 4) * _SHIFT)
+            delta = jax.lax.rem(a >> _ADDR_SH_SHIFT, 128) - 32
+            return ys, ss, delta
+
+        ysA, ssA, dA = dec(2 * step)
+        ysB, ssB, dB = dec(2 * step + 1)
+
+        # Reposition: lane j of the combined window holds window column
+        # j (pair A, j < 64) or j - 64 (pair B).
+        wa_r = pltpu.roll(wa, jnp.mod(128 - dA, 128), 1)
+        wb_r = pltpu.roll(wb, jnp.mod(64 - dB, 128), 1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        in_a1 = lane1 < 64
+        win = jnp.where(in_a1, wa_r, wb_r)
+
+        gx = 0.5 * (pltpu.roll(win, wc - 1, 1) - pltpu.roll(win, 1, 1))
+        gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        theta = atan2_0_2pi(gy, gx)
+
+        def sel(k):
+            return jnp.where(in_a1, ma[0:1, k:k + 1], mb[0:1, k:k + 1])
+
+        sx, sy, sig = sel(0), sel(1), sel(2)
+        cx, cy = sel(3), sel(4)
+        ylo, yhi, xhi = sel(5), sel(6), sel(7)
+        ang = sel(8)
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
+        ybase = jnp.where(in_a1, ysA, ysB).astype(jnp.float32)
+        xbase = jnp.where(in_a1, ssA + dA, ssB + dB - 64).astype(jnp.float32)
+        py = ybase + ii.astype(jnp.float32)
+        px = xbase + jj.astype(jnp.float32)
+
+        in_a = lane1 < 64   # broadcasts against (wr, wc)
+        mask0 = ((ii >= 1) & (ii <= wr - 2)
+                 & jnp.where(in_a, (jj >= 1) & (jj <= 62),
+                             (jj >= 65) & (jj <= 126))
+                 & (px >= 1) & (px <= xhi) & (py >= ylo) & (py <= yhi))
+
+        # dlam floor: the odd tail's dead B half carries zero metadata;
+        # without it 1/dlam -> inf produces NaNs that the shared MXU
+        # contraction would propagate into pair A's columns.
+        dlam = jnp.maximum(LAMBDA_DESCRIPTOR * sig, 1e-3)
+        drad = jnp.floor(math.sqrt(2.0) * dlam * (NB_HIST + 1) * 0.5 + 0.5)
+        dxi = px - cx
+        dyi = py - cy
+        sdx = px - sx
+        sdy = py - sy
+        dmask = (mask0 & (jnp.abs(dxi) <= drad) & (jnp.abs(dyi) <= drad))
+        dexp = -1.0 / (2.0 * half_cells * half_cells)
+        inv_lam = 1.0 / dlam
+
+        kc = jnp.cos(ang) * inv_lam
+        ks = jnp.sin(ang) * inv_lam
+        ox = kc * sdx + ks * sdy
+        oy = kc * sdy - ks * sdx
+        wm = jnp.where(
+            dmask, jnp.exp(dexp * (ox * ox + oy * oy)) * mag, 0.0)
+        rel = jnp.mod(theta - ang, _TWO_PI)
+        if use_vlfeat:
+            fb = rel * (NB_ORI / _TWO_PI)
+        else:
+            fb = jnp.mod(-rel, _TWO_PI) * (NB_ORI / _TWO_PI)
+        ty = oy + half_cells - 0.5
+        tx = ox + half_cells - 0.5
+
+        def flat(x):
+            return x.reshape(1, n)
+
+        uy = [jnp.maximum(0.0, 1.0 - jnp.abs(ty - c)) * wm
+              for c in range(NB_HIST)]
+        wx = [jnp.maximum(0.0, 1.0 - jnp.abs(tx - c))
+              for c in range(NB_HIST)]
+        w16 = jnp.concatenate(
+            [flat(uy[cy_] * wx[cx_]) for cy_ in range(NB_HIST)
+             for cx_ in range(NB_HIST)], axis=0)          # (16, N)
+        o8 = jnp.concatenate(
+            [flat(jnp.maximum(
+                0.0, 1.0 - jnp.minimum(jnp.abs(fb - o),
+                                       NB_ORI - jnp.abs(fb - o))))
+             for o in range(NB_ORI)], axis=0)             # (8, N)
+        m_a = flat(jnp.broadcast_to(
+            in_a.astype(jnp.float32), (wr, wc)))           # (1, N)
+        o16 = jnp.concatenate([o8 * m_a, o8 * (1.0 - m_a)], axis=0)
+        acc = jax.lax.dot_general(
+            w16.astype(jnp.bfloat16), o16.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (16, 16)
+        desc_ref[0] = acc
+
+    return kernel
+
+
+def descriptor_tpu_packed(gauss4: jax.Array, count: jax.Array,
+                          addr: jax.Array, meta: jax.Array, *,
+                          geom: _KernelGeom, edge: int,
+                          use_vlfeat: bool) -> jax.Array:
+    """Raw descriptors (capp, 16, 8) via the 2-pair packed kernel.
+    Same contract as :func:`descriptor_tpu`; ``addr`` must carry the
+    delta field (pack_addr(..., delta=...))."""
+    capp = addr.shape[0]
+    if capp % 16:
+        pad = 16 - capp % 16
+        addr = jnp.pad(addr, (0, pad))
+        meta = jnp.pad(meta, ((0, pad), (0, 0), (0, 0)))
+    capp_p = addr.shape[0]
+    kernel = _make_desc_kernel_packed(geom, capp_p, edge, use_vlfeat)
+    count = jnp.asarray(count, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=((count + 1) // 2,),
+        in_specs=[
+            pl.BlockSpec((8, 1, 16), lambda i, *s: (2 * i // 8, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, NB_HIST * NB_HIST, 2 * NB_ORI),
+                               lambda i, *s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_N_BUF, geom.wr, geom.wc), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_BUF,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (capp_p // 2, NB_HIST * NB_HIST, 2 * NB_ORI), jnp.float32),
+        grid_spec=grid_spec,
+    )(count.reshape(1), addr, meta, gauss4)
+    # De-interleave the lane halves: step i columns [0:8] = pair 2i,
+    # [8:16] = pair 2i+1.
+    out = jnp.stack([out[:, :, :NB_ORI], out[:, :, NB_ORI:]], axis=1)
+    return out.reshape(capp_p, NB_HIST * NB_HIST, NB_ORI)[:capp]
 
 
 # ---------------------------------------------------------------------------
@@ -597,7 +848,7 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         subpix_s,                                      # 15
     ], axis=-1)
 
-    def addr_from_rec(rec, r1, wr, wc):
+    def addr_from_rec(rec, r1, wr, wc, packed=False):
         # Row clamp is per-kernel (h_atlas - wr): a window starting there
         # still covers the keypoint's rows (band bottoms are < h_atlas and
         # the interior mask drops out-of-band rows), and the DMA never
@@ -609,6 +860,9 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         ss = _window_start(bcx, r1, _SHIFT, w_atlas - (wc - _SHIFT))
         cidx_ = (ss % 128) // _SHIFT
         ax = ss - _SHIFT * cidx_
+        if packed:
+            # Repositioning delta for the 2-pair packed kernel.
+            return pack_addr(cidx_, lay, ys, ax, delta=bcx - r1 - ss)
         return pack_addr(cidx_, lay, ys, ax)
 
     # --- K1: orientation histograms for ALL valid keypoints --------------
@@ -647,9 +901,18 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
             if len(ksizes) > 1 else jnp.int32(0)
         angles, ovalid = jax.lax.switch(
             kbi, [peaks_branch(k) for k in ksizes])
-        pvalid = (ovalid & in_cnt[:, None]).reshape(-1)
 
-        pair_total = jnp.sum(pvalid, dtype=jnp.int32)
+        # Keypoint-major pair bookkeeping: peaks_from_histograms returns
+        # PREFIX-COMPACT validity per row (top_k sorts -inf last), so each
+        # keypoint's pairs are the contiguous slots
+        # [start_k, start_k + nori_k) in pair order — scatter/cumsum run at
+        # the keypoint count (total_cap) instead of total_cap*ori_cap
+        # (4x smaller; both ops are per-element latency-bound on v5e).
+        nori = jnp.sum((ovalid & in_cnt[:, None]).astype(jnp.int32), axis=1)
+        cs_n = jnp.cumsum(nori)
+        start_k = cs_n - nori
+
+        pair_total = cs_n[total_cap - 1]
         count = jnp.minimum(pair_total, capacity)
         lost = pair_total - count
 
@@ -660,7 +923,6 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     nbk = len(edges)
     d128 = NB_HIST * NB_HIST * NB_ORI
     psizes = _bucket_sizes(capacity)
-    cs_pv = jnp.cumsum(pvalid.astype(jnp.int32))
 
     def pbi():
         return sum((count > p).astype(jnp.int32) for p in psizes[:-1]) \
@@ -671,14 +933,16 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     # latency-bound at full capacity).
     def pair_branch(p):
         def run():
-            rankv = jnp.where(pvalid, cs_pv - 1, p)
-            pidx = jnp.zeros((p,), jnp.int32).at[rankv].set(
-                jnp.arange(pvalid.shape[0], dtype=jnp.int32), mode="drop")
-            pslot = pidx // ori_cap
+            # pslot[i] = keypoint owning pair slot i: scatter each live
+            # keypoint's index at its segment start, then running max.
+            seg = jnp.zeros((p,), jnp.int32).at[
+                jnp.where(nori > 0, start_k, p)].max(
+                jnp.arange(total_cap, dtype=jnp.int32), mode="drop")
+            pslot = jax.lax.cummax(seg)
             rec_p = rec_k[pslot]
+            oidx = jnp.arange(p, dtype=jnp.int32) - start_k[pslot]
             angle = jnp.take_along_axis(
-                angles[pslot], (pidx - pslot * ori_cap)[:, None],
-                axis=1)[:, 0]
+                angles[pslot], oidx[:, None], axis=1)[:, 0]
             pair_bucket = ((rec_p[:, 15] > s1).astype(jnp.int32)
                            + (rec_p[:, 15] > s2).astype(jnp.int32))
             live = jnp.arange(p) < count
@@ -692,7 +956,8 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
                 rec_b = rec_pa[sidx]
                 addr_b = addr_from_rec(
                     jnp.concatenate([rec_b[:, :8], rec_b[:, 9:]], axis=1),
-                    (edges[b] - 1) // 2, wrs[b], wc)
+                    (edges[b] - 1) // 2, wrs[b], wc,
+                    packed=edges[b] <= _PACK_MAX_EDGE)
                 addrs.append(jnp.pad(addr_b, (0, capacity - p)))
                 metas.append(jnp.pad(rec_b, ((0, capacity - p), (0, 0))))
                 scnts.append(scnt)
@@ -715,9 +980,15 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         for b in range(nbk):
             wc = 128 if edges[b] + _SHIFT - 1 <= 128 else 256
             geom = _KernelGeom(wr=wrs[b], wc=wc, h8=h_atlas, w32=w_atlas)
-            raws.append(descriptor_tpu(
-                g4, scnts[b], addrs[b], metas[b].reshape(-1, 1, 16),
-                geom=geom, use_vlfeat=use_vlfeat).reshape(capacity, d128))
+            if edges[b] <= _PACK_MAX_EDGE:
+                raw = descriptor_tpu_packed(
+                    g4, scnts[b], addrs[b], metas[b].reshape(-1, 1, 16),
+                    geom=geom, edge=edges[b], use_vlfeat=use_vlfeat)
+            else:
+                raw = descriptor_tpu(
+                    g4, scnts[b], addrs[b], metas[b].reshape(-1, 1, 16),
+                    geom=geom, use_vlfeat=use_vlfeat)
+            raws.append(raw.reshape(capacity, d128))
 
         # Merge the bucket outputs back into pair-slot order with row
         # gathers + selects (a row scatter here costs ~20x more on TPU),

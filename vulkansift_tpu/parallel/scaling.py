@@ -2,14 +2,28 @@
 frames/s scaling efficiency at 4 hosts).
 
 Measures data-parallel batched-detect throughput over 1..N-device meshes
-and reports frames/s + efficiency vs the single-device baseline. Works on
-any backend (virtual CPU meshes validate the sharding; real pods measure
-real ICI scaling). CLI: ``python -m vulkansift_tpu.parallel.scaling``.
+and reports frames/s + two efficiency views:
+
+* ``efficiency``   = fps(N) / (N * fps(1)) — the real wall-clock scaling
+  number. Only meaningful when the N devices are physically parallel
+  (real chips, or >= N host cores for a virtual CPU mesh).
+* ``work_efficiency`` = fps(N) / fps(1) — throughput of the sharded
+  program relative to the unsharded one when all "devices" serialize onto
+  the same silicon (a 1-core host). 1.0 means sharding adds no work and
+  no collective/glue overhead; the forward DP path has no collectives
+  (parallel/dp.py), so on real pods wall-clock efficiency is then bounded
+  only by host I/O and per-chip dispatch.
+
+The dev host here has ONE physical core, so virtual-mesh wall-clock
+``efficiency`` mostly measures core time-slicing; ``work_efficiency`` is
+the recordable evidence (see results/scaling_efficiency.json).
+CLI: ``python -m vulkansift_tpu.parallel.scaling``.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -60,11 +74,13 @@ def measure_dp_scaling(config: SiftConfig, width: int, height: int, *,
             fps1 = fps
         points.append(dict(devices=n, fps=round(fps, 2),
                            ms_per_frame=round(dt * 1e3, 3),
-                           efficiency=round(fps / (n * fps1), 3)))
+                           efficiency=round(fps / (n * fps1), 3),
+                           work_efficiency=round(fps / fps1, 3)))
     return dict(points=points,
                 resolution=f"{width}x{height}",
                 per_device_batch=per_device_batch,
-                backend=jax.default_backend())
+                backend=jax.default_backend(),
+                host_cores=os.cpu_count())
 
 
 def main(argv=None):  # pragma: no cover - CLI

@@ -109,9 +109,46 @@ class OpenCvDetector(Detector):
             descriptors=desc)
 
 
+class GoldenNumpyDetector(Detector):
+    """Independent float64 NumPy SIFT (vulkansift_tpu.golden.reference) —
+    the offline stand-in for the reference harness's VLFeat CPU slot
+    (src/perf/perf_common.cpp:42-61): a third implementation whose metric
+    agreement hardens the cross-implementation oracle. Slow (seconds per
+    image); defaults to no upsampling like VLFeat's common benchmarking
+    configuration."""
+
+    name = "GoldenNumpy"
+
+    def __init__(self, upsampling: bool = False, max_features: int = 16384):
+        self._upsampling = upsampling
+        self._max_features = max_features
+
+    def init(self) -> None:
+        from vulkansift_tpu import SiftConfig
+        from vulkansift_tpu.golden import reference
+        self._gold = reference
+        self._cfg = SiftConfig(use_input_upsampling=self._upsampling,
+                               max_nb_sift_per_buffer=self._max_features,
+                               sift_buffer_count=1,
+                               input_image_max_size=4096 * 4096)
+
+    def detect(self, image: np.ndarray) -> DetectResult:
+        feats = self._gold.detect_np(image, self._cfg,
+                                     max_features=self._max_features)
+        if not feats:
+            return DetectResult(xy=np.zeros((0, 2), np.float32),
+                                size=np.zeros((0,), np.float32),
+                                descriptors=np.zeros((0, 128), np.uint8))
+        return DetectResult(
+            xy=np.asarray([(f["x"], f["y"]) for f in feats], np.float32),
+            size=np.asarray([f["sigma"] for f in feats], np.float32),
+            descriptors=np.stack([f["descriptor"] for f in feats]))
+
+
 DETECTORS: Dict[str, Callable[[], Detector]] = {
     "vulkansift_tpu": VulkanSiftTpuDetector,
     "OpenCV": OpenCvDetector,
+    "GoldenNumpy": GoldenNumpyDetector,
 }
 
 

@@ -105,18 +105,18 @@ def _backhalf_xla(gaussians_o, refined, *, cfg: SiftConfig, ow: int, oh: int,
 
 
 def octave_plan(config: SiftConfig, width: int, height: int,
-                bucketed: bool = False) -> Tuple[Tuple[int, int], ...]:
+                bucket: int = 1) -> Tuple[Tuple[int, int], ...]:
     """The per-octave (width, height) sizes the compiled pipeline will use
-    for this (possibly bucket-padded) resolution. Under bucketing the octave
-    count is derived conservatively from the smallest resolution mapping to
-    the bucket (one program serves the whole bucket), so it can be one less
-    than the exact-resolution count — the instance records this plan per
-    buffer so the debug APIs report what was actually computed."""
+    for this (possibly bucket-padded) resolution. Under bucketing
+    (``bucket > 1``) the octave count is derived conservatively from the
+    smallest resolution mapping to the bucket (one program serves the whole
+    bucket), so it can be one less than the exact-resolution count — the
+    instance records this plan per buffer so the debug APIs report what was
+    actually computed."""
     oct_res = config.octave_resolutions(width, height)
-    if bucketed:
-        b = config.resolution_bucket
-        n_cap = config.max_octaves_for(max(width - b + 1, 32),
-                                       max(height - b + 1, 32))
+    if bucket > 1:
+        n_cap = config.max_octaves_for(max(width - bucket + 1, 32),
+                                       max(height - bucket + 1, 32))
         oct_res = oct_res[:n_cap]
     return oct_res
 
@@ -124,7 +124,7 @@ def octave_plan(config: SiftConfig, width: int, height: int,
 def make_detect_fn(config: SiftConfig, width: int, height: int,
                    *, return_pyramid: bool = False,
                    backhalf: str = "auto", batched: bool = False,
-                   bucketed: bool = False):
+                   bucket: int = 1):
     """Build the single-program detect function for one static resolution.
 
     Args:
@@ -133,7 +133,7 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
       width/height: static input resolution.
       return_pyramid: also return (gaussians, dogs) for the debug APIs.
       backhalf: "xla" | "pallas" | "auto" (see module docstring).
-      bucketed: the resolution-bucketing mode (config.resolution_bucket>1):
+      bucket: bucket size > 1 enables the resolution-bucketing mode:
         ``detect`` takes extra traced ``(valid_w, valid_h)`` scalars, the
         octave count is derived conservatively from the smallest resolution
         mapping to this bucket (one compiled program serves the whole
@@ -149,7 +149,8 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
     """
     cfg = config
     s = cfg.nb_scales_per_octave
-    oct_res = octave_plan(cfg, width, height, bucketed)
+    bucketed = bucket > 1
+    oct_res = octave_plan(cfg, width, height, bucket)
     nb_oct = len(oct_res)
     caps = cfg.octave_section_capacities(nb_oct)
     oct_shapes = tuple((h, w) for (w, h) in oct_res)

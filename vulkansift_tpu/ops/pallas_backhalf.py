@@ -385,6 +385,158 @@ def orientation_hist_tpu(gauss4: jax.Array, count: jax.Array,
     return hist.reshape(capp_p, NB_ORI_HIST_BINS)[:capp]
 
 
+def _make_hist_kernel_packed(geom: _KernelGeom, capp: int, edge: int):
+    """2 keypoints per grid step (orientation window edge <= 64 lanes).
+
+    Same lane-half packing as :func:`_make_desc_kernel_packed` (see its
+    wrap-garbage analysis), plus the 36 per-bin masked reductions become
+    ONE MXU contraction: hist (2, 36) = om2 (2, N) @ onehot-bins (36, N)^T
+    with the two rows masked to the A/B lane halves — the per-bin
+    reduction trees were the dominant op-issue cost of the unpacked
+    kernel."""
+    wr, wc = geom.wr, geom.wc
+    assert wc == 128 and edge <= _PACK_MAX_EDGE
+    n = wr * 128
+    nb = NB_ORI_HIST_BINS
+    r1 = (edge - 1) // 2
+
+    def kernel(count_ref, addr_ref, meta_ref, gauss_ref, hist_ref,
+               wscr, sems):
+        step = pl.program_id(0)
+        start_dma, wait_current = _dma_machinery(
+            count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp,
+            clamp_to_count=True)
+
+        @pl.when(step == 0)
+        def _():
+            for p in range(6):
+                start_dma(jnp.int32(p))
+
+        start_dma(2 * step + 6)
+        start_dma(2 * step + 7)
+        wa = wait_current(2 * step)
+        wb = wait_current(2 * step + 1)
+
+        mrow = jax.lax.rem(2 * step, 8)
+        ma = meta_ref[mrow]
+        mb = meta_ref[mrow + 1]
+
+        def dec(i):
+            a = addr_ref[jnp.clip(jnp.minimum(i, count_ref[0] - 1), 0,
+                                  capp - 1)]
+            ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
+            ss = (jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
+                  + jax.lax.rem(a, 4) * _SHIFT)
+            delta = jax.lax.rem(a >> _ADDR_SH_SHIFT, 128) - 32
+            return ys, ss, delta
+
+        ysA, ssA, dA = dec(2 * step)
+        ysB, ssB, dB = dec(2 * step + 1)
+        wa_r = pltpu.roll(wa, jnp.mod(128 - dA, 128), 1)
+        wb_r = pltpu.roll(wb, jnp.mod(64 - dB, 128), 1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        in_a1 = lane1 < 64
+        win = jnp.where(in_a1, wa_r, wb_r)
+
+        gx = 0.5 * (pltpu.roll(win, wc - 1, 1) - pltpu.roll(win, 1, 1))
+        gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        theta = atan2_0_2pi(gy, gx)
+
+        def sel(k):
+            return jnp.where(in_a1, ma[0:1, k:k + 1], mb[0:1, k:k + 1])
+
+        sx, sy, sig = sel(0), sel(1), sel(2)
+        cx, cy = sel(3), sel(4)
+        ylo, yhi, xhi = sel(5), sel(6), sel(7)
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
+        ybase = jnp.where(in_a1, ysA, ysB).astype(jnp.float32)
+        xbase = jnp.where(in_a1, ssA + dA,
+                          ssB + dB - 64).astype(jnp.float32)
+        py = ybase + ii.astype(jnp.float32)
+        px = xbase + jj.astype(jnp.float32)
+        in_a = lane1 < 64
+        mask0 = ((ii >= 1) & (ii <= wr - 2)
+                 & jnp.where(in_a, (jj >= 1) & (jj <= 62),
+                             (jj >= 65) & (jj <= 126))
+                 & (px >= 1) & (px <= xhi) & (py >= ylo) & (py <= yhi))
+
+        slam = jnp.maximum(LAMBDA_ORIENTATION * sig, 1e-3)
+        obr = jnp.floor(3.0 * slam)
+        oexp = -1.0 / (2.0 * slam * slam)
+        dxi = px - cx
+        dyi = py - cy
+        sdx = px - sx
+        sdy = py - sy
+        omask = (mask0 & (jnp.abs(dxi) <= obr) & (jnp.abs(dyi) <= obr))
+        om = jnp.where(
+            omask, jnp.exp((sdx * sdx + sdy * sdy) * oexp) * mag, 0.0)
+        bins = jnp.minimum(
+            jnp.floor(theta * (nb / _TWO_PI)), nb - 1).astype(jnp.int32)
+
+        def flat(x):
+            return x.reshape(1, n)
+
+        m_a = flat(jnp.broadcast_to(in_a.astype(jnp.float32), (wr, wc)))
+        omf = flat(om)
+        om2 = jnp.concatenate([omf * m_a, omf * (1.0 - m_a)], axis=0)
+        b36 = jnp.concatenate(
+            [flat((bins == b).astype(jnp.float32)) for b in range(nb)],
+            axis=0)                                       # (36, N)
+        # f32 HIGHEST: bin weights are exact 0/1, so only om's rounding
+        # would enter at bf16 — keep histogram accumulation exact, the
+        # MXU pass is tiny (2 x 36 x N).
+        acc = jax.lax.dot_general(
+            om2, b36, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)           # (2, 36)
+        hist_ref[0] = acc
+
+    return kernel
+
+
+def orientation_hist_tpu_packed(gauss4: jax.Array, count: jax.Array,
+                                addr: jax.Array, meta: jax.Array, *,
+                                geom: _KernelGeom, edge: int) -> jax.Array:
+    """Raw 36-bin histograms via the 2-keypoint packed kernel. Same
+    contract as :func:`orientation_hist_tpu`; ``addr`` must carry the
+    delta field."""
+    capp = addr.shape[0]
+    if capp % 16:
+        pad = 16 - capp % 16
+        addr = jnp.pad(addr, (0, pad))
+        meta = jnp.pad(meta, ((0, pad), (0, 0), (0, 0)))
+    capp_p = addr.shape[0]
+    kernel = _make_hist_kernel_packed(geom, capp_p, edge)
+    count = jnp.asarray(count, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=((count + 1) // 2,),
+        in_specs=[
+            pl.BlockSpec((8, 1, 8), lambda i, *s: (2 * i // 8, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 2, NB_ORI_HIST_BINS),
+                               lambda i, *s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_N_BUF, geom.wr, geom.wc), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_BUF,)),
+        ],
+    )
+    hist = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (capp_p // 2, 2, NB_ORI_HIST_BINS), jnp.float32),
+        grid_spec=grid_spec,
+    )(count.reshape(1), addr, meta, gauss4)
+    # Step i's block rows (0, 1) are keypoints (2i, 2i+1): plain reshape.
+    return hist.reshape(capp_p, NB_ORI_HIST_BINS)[:capp]
+
+
 # ---------------------------------------------------------------------------
 # K2: descriptor kernel (per (keypoint, orientation) pair)
 # ---------------------------------------------------------------------------
@@ -873,10 +1025,17 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
                                h8=h_atlas, w32=w_atlas)
         kidx, kcnt = rank_select_fn(valid, total_cap)
         rec_k = REC[kidx]                                # one row gather
-        hist = orientation_hist_tpu(
-            g4, kcnt,
-            addr_from_rec(rec_k, (ori_edge - 1) // 2, ori_geom.wr, 128),
-            rec_k[:, :8].reshape(-1, 1, 8), geom=ori_geom)
+        ori_packed = ori_edge <= _PACK_MAX_EDGE
+        ori_addr = addr_from_rec(rec_k, (ori_edge - 1) // 2,
+                                 ori_geom.wr, 128, packed=ori_packed)
+        if ori_packed:
+            hist = orientation_hist_tpu_packed(
+                g4, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
+                geom=ori_geom, edge=ori_edge)
+        else:
+            hist = orientation_hist_tpu(
+                g4, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
+                geom=ori_geom)
 
         # peaks (vectorized XLA; tiny per-keypoint vectors are op-issue
         # bound inside a per-keypoint kernel). Bucketed lax.switch: the

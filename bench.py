@@ -38,7 +38,12 @@ BASELINE_MS = 16.47  # VulkanSift, RTX 2060, Hannover 1536x1024
 W, H = 1536, 1024
 WARMUP = int(os.environ.get("BENCH_WARMUP", "5"))
 BATCHES = int(os.environ.get("BENCH_BATCHES", "12"))
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+# Pipelining depth: one ~26 ms tunnel sync per BATCH frames is amortized
+# into the per-frame number (8 -> 3.2 ms/frame of pure tunnel artifact;
+# 24 -> 1.1). The multi-buffer API contract is exactly this pattern
+# (vksift_Config.sift_buffer_count, vulkansift.h:40-47); on standard TPU
+# hosts the sync is ~0.1 ms and the depth is irrelevant.
+BATCH = int(os.environ.get("BENCH_BATCH", "24"))
 RETRIES = int(os.environ.get("BENCH_RETRIES", "4"))
 # Hard wall-clock watchdog: a wedged backend (e.g. a tunnel RPC that never
 # returns) would otherwise hang forever and record NOTHING; emit the best

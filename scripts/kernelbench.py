@@ -85,9 +85,10 @@ def main():
         ss = np.clip(((xs - r1) // sh) * sh, 0, w_atlas - (wc - sh))
         cidx = (ss % 128) // sh
         ax = ss - sh * cidx
-        return jnp.asarray(
-            (cidx + (layer << 2) + ((ys_w // 8) << 5)
-             + ((ax // 128) << 16)).astype(np.int32))
+        w = (cidx + (layer << 2) + ((ys_w // 8) << 5)
+             + ((ax // 128) << 16)
+             + ((xs - r1 - ss + 64) << pb._ADDR_SH_SHIFT))
+        return jnp.asarray(w.astype(np.int32))
 
     count = jnp.int32(n_kp)
 
@@ -102,6 +103,14 @@ def main():
     print(f"K1 hist   : {ms:7.2f} ms total, {ms / n_kp * 1e3:6.2f} us/kp "
           f"(wr={ori_geom.wr}, wc=128)", flush=True)
 
+    if ori_edge <= pb._PACK_MAX_EDGE:
+        addr1p = mk_addr((ori_edge - 1) // 2, ori_geom.wr, 128)
+        f1p = jax.jit(functools.partial(pb.orientation_hist_tpu_packed,
+                                        geom=ori_geom, edge=ori_edge))
+        ms = timed(f1p, (g4, count, addr1p, meta1))
+        print(f"K1 packed : {ms:7.2f} ms total, {ms / n_kp * 1e3:6.2f} "
+              f"us/kp", flush=True)
+
     # K2 descriptor, all sigma buckets
     wrs = pb.kernel_window_rows(cfg)
     edges = pb.desc_bucket_edges(cfg)
@@ -115,6 +124,14 @@ def main():
         ms = timed(f2, (g4, count, addr2, meta2))
         print(f"K2 desc b{b}: {ms:7.2f} ms total, {ms / n_kp * 1e3:6.2f} "
               f"us/kp (wr={geom.wr}, wc={geom.wc})", flush=True)
+        if edges[b] <= pb._PACK_MAX_EDGE:
+            addr2p = mk_addr((edges[b] - 1) // 2, wrs[b], wc)
+            f2p = jax.jit(functools.partial(
+                pb.descriptor_tpu_packed, geom=geom, edge=edges[b],
+                use_vlfeat=False))
+            ms = timed(f2p, (g4, count, addr2p, meta2))
+            print(f"K2 pack b{b}: {ms:7.2f} ms total, "
+                  f"{ms / n_kp * 1e3:6.2f} us/kp", flush=True)
 
 
 if __name__ == "__main__":

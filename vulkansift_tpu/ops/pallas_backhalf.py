@@ -27,13 +27,17 @@ that is small moves OUT to batched XLA):
   (ComputeDescriptors.comp:106-198) — replacing the shader's fixed-point
   shared-memory atomics.
 
-Window DMA alignment: rows align to 8 (f32 sublane tile); columns use four
-32-lane-shifted atlas copies so any 32-aligned window start maps to a
-128-aligned DMA on one copy — every kernel window (max edge 89 + 31
-alignment slack) then fits one 128-lane tile. DMAs are multi-buffered
-``_PREFETCH`` steps ahead. Only a packed address word lives in SMEM
-(~1 MB total); all other per-keypoint metadata arrives as VMEM blocks
-spanning 8 grid steps.
+Window DMA alignment: rows align to 8 (f32 sublane tile); columns use two
+64-lane-shifted atlas copies so any 64-aligned window start maps to a
+128-aligned DMA on one copy, and every kernel repositions the DMA'd
+content to lane 0 with a dynamic in-kernel roll (windows wider than 65 px
+DMA two lane tiles and slice back to one after the roll). Keypoint/pair
+pairs whose window fits a 64-lane half run 2-per-grid-step through the
+*packed* kernel variants (content rolled to lanes 0 and 64, per-pixel
+math shared — the kernels are VPU-bound and lanes past the window edge
+were dead). DMAs are multi-buffered ``_PREFETCH`` steps ahead. Only a
+packed address word lives in SMEM (~1 MB total); all other per-keypoint
+metadata arrives as VMEM blocks spanning 8 grid steps.
 
 Normalization/quantization to u8 runs in XLA afterwards (tiny).
 """
@@ -53,7 +57,7 @@ from ..config import (LAMBDA_DESCRIPTOR, LAMBDA_ORIENTATION, NB_HIST, NB_ORI,
                       NB_ORI_HIST_BINS, ORI_PEAK_RATIO, SiftConfig)
 
 _TWO_PI = 2.0 * math.pi
-_N_COPIES = 4          # lane-shift copies (32-lane granularity)
+_N_COPIES = 2          # lane-shift copies (64-lane granularity)
 _SHIFT = 128 // _N_COPIES
 _N_BUF = 8             # DMA multi-buffering slots
 _PREFETCH = 7          # DMA prefetch distance (< _N_BUF)
@@ -168,24 +172,27 @@ class _KernelGeom(NamedTuple):
 
 
 # Packed DMA-address word: cidx (2b) | layer (3b) | ys/8 (11b) | ax/128 (7b)
-# | delta+32 (7b). delta = (cx - r1) - window_start is only set (and read)
-# by the 2-pair packed descriptor kernel, which repositions each pair's
-# window with a lane roll. Field widths bound the atlas at 16384 rows and
-# 16256 cols (asserted in run_atlas).
+# | delta+64 (8b). delta = (cx - r1) - window_start: every kernel
+# repositions its window content to lane 0 (or lane 64 for a packed pair's
+# B half) with a dynamic lane roll of this amount. Field widths bound the
+# atlas at 16384 rows and 16256 cols (asserted in run_atlas) and delta at
+# [-64, 191] (worst case is the wc=256 bucket's right-edge clamp, 149).
 _ADDR_LAYER_SHIFT = 2
 _ADDR_YS_SHIFT = 5
 _ADDR_AX_SHIFT = 16
 _ADDR_SH_SHIFT = 23
 
 
-def pack_addr(cidx, layer, ys, ax, delta=None):
+def pack_addr(cidx, layer, ys, ax, delta):
     # cidx is the lane shift-copy index.
-    w = (cidx + (layer << _ADDR_LAYER_SHIFT)
-         + ((ys // 8) << _ADDR_YS_SHIFT)
-         + ((ax // 128) << _ADDR_AX_SHIFT))
-    if delta is not None:
-        w = w + ((delta + 32) << _ADDR_SH_SHIFT)
-    return w.astype(jnp.int32)
+    return (cidx + (layer << _ADDR_LAYER_SHIFT)
+            + ((ys // 8) << _ADDR_YS_SHIFT)
+            + ((ax // 128) << _ADDR_AX_SHIFT)
+            + ((delta + 64) << _ADDR_SH_SHIFT)).astype(jnp.int32)
+
+
+def _decode_delta(a):
+    return jax.lax.rem(a >> _ADDR_SH_SHIFT, 256) - 64
 
 
 def _copies_kernel(src_ref, out_ref):
@@ -200,10 +207,16 @@ def make_shifted_copies(atlas: jax.Array) -> jax.Array:
     """(L, H, W) f32 atlas -> (N, L, H, W) lane-shifted copies.
 
     Copy c is rolled left by c*_SHIFT lanes, so any _SHIFT-aligned window
-    start maps to a 128-aligned DMA on exactly one copy; with _SHIFT=32
-    every kernel window (max descriptor edge 89 + 31 slack <= 128) fits a
-    single 128-lane tile — no 256-wide windows, ~2x less window compute
-    for large-sigma keypoints.
+    start maps to a 128-aligned DMA on exactly one copy. _SHIFT=64 (2
+    copies): kernels reposition the DMA'd window content to lane 0 with a
+    dynamic in-kernel roll (see _window_fields), so the copies only need
+    to bound the DMA width — edge + 63 slack <= 128 keeps every packable
+    bucket at one lane tile, and the largest bucket DMAs two tiles but
+    still computes on 128 lanes after the roll. (Round 2 used 4 copies at
+    32-lane granularity to avoid in-kernel rolls entirely; the packed
+    kernels need rolls anyway, and halving the copies halves the atlas
+    build traffic and footprint — the atlas is the largest allocation at
+    big resolutions.)
 
     One Pallas pass (read once, write N) — XLA lowers jnp.roll to
     slice+pad+maximum chains costing ~7.5 ms for the 4-copy atlas at
@@ -271,22 +284,35 @@ def _dma_machinery(count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp,
 
 def _window_fields(win, step, addr_ref, meta, geom):
     """Common per-window quantities: gradients, magnitude, angle, coords,
-    interior mask, and per-keypoint metadata scalars."""
-    wr, wc = geom.wr, geom.wc
-    gx = 0.5 * (pltpu.roll(win, wc - 1, 1) - pltpu.roll(win, 1, 1))
-    gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
-    mag = jnp.sqrt(gx * gx + gy * gy)
-    theta = atan2_0_2pi(gy, gx)
+    interior mask, and per-keypoint metadata scalars.
 
+    The DMA'd window (wr, geom.wc) has its content at lanes
+    [delta, delta+edge); a dynamic roll moves it to lane 0 and (for
+    two-tile DMAs) a static slice drops the now-empty upper tile, so
+    compute always runs on (wr, 128). Wrapped lanes carry px outside the
+    image interior or the window radius, so the existing masks reject
+    them (right-edge clamp case: wrapped px >= window_start + geom.wc >
+    xhi; left clamp: wrapped px < cx - r1 < cx - radius)."""
+    wr, wc = geom.wr, geom.wc
     a = addr_ref[step]
     ys0 = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
     ss0 = (jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
            + jax.lax.rem(a, 4) * _SHIFT)
+    delta = _decode_delta(a)
 
-    ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
+    win = pltpu.roll(win, jnp.mod(wc - delta, wc), 1)
+    if wc != 128:
+        win = win[:, :128]
+    wcc = 128
+    gx = 0.5 * (pltpu.roll(win, wcc - 1, 1) - pltpu.roll(win, 1, 1))
+    gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    theta = atan2_0_2pi(gy, gx)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wcc), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wcc), 1)
     py = (ys0 + ii).astype(jnp.float32)
-    px = (ss0 + jj).astype(jnp.float32)
+    px = (ss0 + delta + jj).astype(jnp.float32)
 
     sxf, syf, sig = meta[0:1, 0:1], meta[0:1, 1:2], meta[0:1, 2:3]
     cxf, cyf = meta[0:1, 3:4], meta[0:1, 4:5]
@@ -294,7 +320,7 @@ def _window_fields(win, step, addr_ref, meta, geom):
 
     # Structural window border (roll wrap) + per-keypoint image interior
     # (atlas band bounds, atlas coordinates).
-    mask0 = ((ii >= 1) & (ii <= wr - 2) & (jj >= 1) & (jj <= wc - 2)
+    mask0 = ((ii >= 1) & (ii <= wr - 2) & (jj >= 1) & (jj <= wcc - 2)
              & (px >= 1) & (px <= xhi) & (py >= ylo) & (py <= yhi))
     return dict(mag=mag, theta=theta, px=px, py=py, mask0=mask0,
                 sx=sxf, sy=syf, sig=sig, cx=cxf, cy=cyf)
@@ -427,8 +453,7 @@ def _make_hist_kernel_packed(geom: _KernelGeom, capp: int, edge: int):
             ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
             ss = (jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
                   + jax.lax.rem(a, 4) * _SHIFT)
-            delta = jax.lax.rem(a >> _ADDR_SH_SHIFT, 128) - 32
-            return ys, ss, delta
+            return ys, ss, _decode_delta(a)
 
         ysA, ssA, dA = dec(2 * step)
         ysB, ssB, dB = dec(2 * step + 1)
@@ -590,13 +615,8 @@ def _make_desc_kernel(geom: _KernelGeom, capp: int, use_vlfeat: bool):
         tx = ox + half_cells - 0.5
 
         def flat(x):
-            # (wr, wc) -> (1, wr*wc); Mosaic only flattens single
-            # lane-tile rows, so concat per-128-lane tiles.
-            if wc == 128:
-                return x.reshape(1, n)
-            return jnp.concatenate(
-                [x[:, t * 128:(t + 1) * 128].reshape(1, n)
-                 for t in range(wc // 128)], axis=1)
+            # Compute is always (wr, 128) after the repositioning roll.
+            return x.reshape(1, n)
 
         # desc[cy, cx, o] = sum_p hy[cy]*wm * hx[cx] * wo[o] — a 3-way
         # contraction. Grouping it as (hy*wm*hx: 16 rows) @ (wo: 8 rows)^T
@@ -729,8 +749,7 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
             ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
             ss = (jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
                   + jax.lax.rem(a, 4) * _SHIFT)
-            delta = jax.lax.rem(a >> _ADDR_SH_SHIFT, 128) - 32
-            return ys, ss, delta
+            return ys, ss, _decode_delta(a)
 
         ysA, ssA, dA = dec(2 * step)
         ysB, ssB, dB = dec(2 * step + 1)
@@ -942,6 +961,11 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
             _window_rows(ori_window_edge(_sigma_max(config, s + 1))),
             max(kernel_window_rows(config)))
         h_atlas = _round_up(max(rows, max_wr), 8)
+        # Address-word field widths (pack_addr): ys/8 has 11 bits, ax/128
+        # has 7. Largest supported pyramid (Hannover 3456x2304 upsampled:
+        # ~9200 atlas rows, 6912 cols) fits comfortably.
+        assert h_atlas <= 2048 * 8 and w_atlas <= 127 * 128, (
+            "atlas exceeds the DMA address-word field widths")
         bands = []
         for o, (ow, oh) in enumerate(oct_res):
             g = gaussians[o][:nb_layers].astype(jnp.float32)
@@ -1000,7 +1024,7 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         subpix_s,                                      # 15
     ], axis=-1)
 
-    def addr_from_rec(rec, r1, wr, wc, packed=False):
+    def addr_from_rec(rec, r1, wr, wc):
         # Row clamp is per-kernel (h_atlas - wr): a window starting there
         # still covers the keypoint's rows (band bottoms are < h_atlas and
         # the interior mask drops out-of-band rows), and the DMA never
@@ -1012,22 +1036,21 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         ss = _window_start(bcx, r1, _SHIFT, w_atlas - (wc - _SHIFT))
         cidx_ = (ss % 128) // _SHIFT
         ax = ss - _SHIFT * cidx_
-        if packed:
-            # Repositioning delta for the 2-pair packed kernel.
-            return pack_addr(cidx_, lay, ys, ax, delta=bcx - r1 - ss)
-        return pack_addr(cidx_, lay, ys, ax)
+        # delta repositions the window content to lane 0 in-kernel.
+        return pack_addr(cidx_, lay, ys, ax, delta=bcx - r1 - ss)
 
     # --- K1: orientation histograms for ALL valid keypoints --------------
     with jax.named_scope("ComputeOrientation"):
         sig_max_all = _sigma_max(config, s + 1)
         ori_edge = ori_window_edge(sig_max_all)
-        ori_geom = _KernelGeom(wr=_window_rows(ori_edge), wc=128,
+        ori_wc = 128 if ori_edge + _SHIFT - 1 <= 128 else 256
+        ori_geom = _KernelGeom(wr=_window_rows(ori_edge), wc=ori_wc,
                                h8=h_atlas, w32=w_atlas)
         kidx, kcnt = rank_select_fn(valid, total_cap)
         rec_k = REC[kidx]                                # one row gather
         ori_packed = ori_edge <= _PACK_MAX_EDGE
         ori_addr = addr_from_rec(rec_k, (ori_edge - 1) // 2,
-                                 ori_geom.wr, 128, packed=ori_packed)
+                                 ori_geom.wr, ori_wc)
         if ori_packed:
             hist = orientation_hist_tpu_packed(
                 g4, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
@@ -1115,8 +1138,7 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
                 rec_b = rec_pa[sidx]
                 addr_b = addr_from_rec(
                     jnp.concatenate([rec_b[:, :8], rec_b[:, 9:]], axis=1),
-                    (edges[b] - 1) // 2, wrs[b], wc,
-                    packed=edges[b] <= _PACK_MAX_EDGE)
+                    (edges[b] - 1) // 2, wrs[b], wc)
                 addrs.append(jnp.pad(addr_b, (0, capacity - p)))
                 metas.append(jnp.pad(rec_b, ((0, capacity - p), (0, 0))))
                 scnts.append(scnt)

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .extract import (_CODE_CONV, _CODE_SING, _newton_step, Candidates,
-                      rank_select)
+from .extract import (_CODE_CONV, _CODE_SING, _newton_step, bucket_sizes,
+                      Candidates, rank_select)
 
 _CODE_CAND = 128  # candidate bit (u8; walk code occupies [0, 107])
 _BR = 16          # rows per grid step
@@ -251,40 +251,62 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
     row_counts = row_tot.T.reshape(-1)                  # (S * hr,)
     cs_rows = jnp.cumsum(row_counts)
     total = jnp.minimum(cs_rows[-1], capacity)
-    ranks = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    # searchsorted(a, v, "left") == count(a < v): a dense compare+reduce
-    # beats the binary-search while loop for these table sizes (the walk
-    # tables are ~12k rows / 24 blocks / 128 lanes; the while op costs
-    # ~1 ms per level on v5e).
-    row = jnp.sum(cs_rows[None, :] < ranks[:, None], axis=1,
-                  dtype=jnp.int32)
-    row = jnp.clip(row, 0, s_layers * hr - 1)
-    base = jnp.where(row > 0, cs_rows[jnp.maximum(row - 1, 0)], 0)
-    within = ranks - base                                # 1-based rank in row
+    code_blocks = code.reshape(s_layers * hr, nblk, 128)
 
-    sc = row // hr                                       # 0-based layer
-    yy = row % hr                                        # interior row idx
+    def compact_at(kb):
+        """Rank->(layer,row,lane) search for the first ``kb`` ranks, padded
+        back to ``capacity``. Bucketed by the LIVE candidate count: every
+        op below is rank-proportional (dense compare+reduce rows, block
+        gathers), so running at the bucket size instead of the per-octave
+        section capacity scales this glue with actual candidates."""
 
-    # Row rank -> lane block (2-D indexing: no transpose materialization).
-    cb = counts[yy, sc]                                  # (cap, nblk)
-    cs_b = jnp.cumsum(cb, axis=1)                        # (cap, nblk)
-    blk = jnp.sum(cs_b < within[:, None], axis=1, dtype=jnp.int32)
-    blk = jnp.clip(blk, 0, nblk - 1)
-    base_b = jnp.where(
-        blk > 0,
-        jnp.take_along_axis(cs_b, jnp.maximum(blk - 1, 0)[:, None],
-                            axis=1)[:, 0], 0)
-    within_b = within - base_b
+        def run():
+            ranks = jnp.arange(1, kb + 1, dtype=jnp.int32)
+            # searchsorted(a, v, "left") == count(a < v): a dense
+            # compare+reduce beats the binary-search while loop for these
+            # table sizes (the walk tables are ~12k rows / 24 blocks /
+            # 128 lanes; the while op costs ~1 ms per level on v5e).
+            row = jnp.sum(cs_rows[None, :] < ranks[:, None], axis=1,
+                          dtype=jnp.int32)
+            row = jnp.clip(row, 0, s_layers * hr - 1)
+            base = jnp.where(row > 0, cs_rows[jnp.maximum(row - 1, 0)], 0)
+            within = ranks - base                        # 1-based in row
 
-    # Block rank -> lane.
-    blk128 = code.reshape(s_layers * hr, nblk, 128)[row, blk]  # (cap, 128)
-    cand_rows = (blk128 >= _CODE_CAND).astype(jnp.int32)
-    cs_in = jnp.cumsum(cand_rows, axis=1)
-    xin = jnp.sum(cs_in < within_b[:, None], axis=1, dtype=jnp.int32)
-    xx = blk * 128 + jnp.clip(xin, 0, 127)
-    xx = jnp.clip(xx, 0, w - 1)
+            sc = row // hr                               # 0-based layer
+            yy = row % hr                                # interior row idx
 
-    live = ranks <= total
+            # Row rank -> lane block (2-D indexing: no transpose
+            # materialization).
+            cb = counts[yy, sc]                          # (kb, nblk)
+            cs_b = jnp.cumsum(cb, axis=1)
+            blk = jnp.sum(cs_b < within[:, None], axis=1, dtype=jnp.int32)
+            blk = jnp.clip(blk, 0, nblk - 1)
+            base_b = jnp.where(
+                blk > 0,
+                jnp.take_along_axis(cs_b, jnp.maximum(blk - 1, 0)[:, None],
+                                    axis=1)[:, 0], 0)
+            within_b = within - base_b
+
+            # Block rank -> lane.
+            blk128 = code_blocks[row, blk]               # (kb, 128)
+            cand_rows = (blk128 >= _CODE_CAND).astype(jnp.int32)
+            cs_in = jnp.cumsum(cand_rows, axis=1)
+            xin = jnp.sum(cs_in < within_b[:, None], axis=1,
+                          dtype=jnp.int32)
+            xx = blk * 128 + jnp.clip(xin, 0, 127)
+            xx = jnp.clip(xx, 0, w - 1)
+            pad = (0, capacity - kb)
+            return (jnp.pad(sc, pad), jnp.pad(yy, pad), jnp.pad(xx, pad))
+        return run
+
+    sizes = bucket_sizes(capacity, lo=2048)
+    if len(sizes) == 1:
+        sc, yy, xx = compact_at(capacity)()
+    else:
+        bi = sum((total > s).astype(jnp.int32) for s in sizes[:-1])
+        sc, yy, xx = jax.lax.switch(bi, [compact_at(s) for s in sizes])
+
+    live = jnp.arange(capacity) < total
     cand = Candidates(
         s=jnp.where(live, sc + 1, 1).astype(jnp.int32),
         y=jnp.where(live, yy + 1, 1).astype(jnp.int32),

@@ -124,6 +124,51 @@ def test_backhalf_small_octave_atlas_bounds(interpret_mode):
     assert len(pairs) >= 0.8 * max(n_p, n_x)
 
 
+def test_backhalf_border_clamps(interpret_mode):
+    """Keypoints near the left/right image edges exercise the window-start
+    clamps and the packed kernels' repositioning-roll wrap masking (the
+    correctness argument in _make_desc_kernel_packed's docstring): a wide
+    image makes the right-edge clamp regime reachable, and blob clusters
+    at both edges put keypoints inside it."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    h, w = 96, 1280
+    ys_, xs_ = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = 0.08 * rng.standard_normal((h, w))
+    for _ in range(30):
+        cy = rng.uniform(8, h - 8)
+        # Clusters hugging both vertical edges (incl. within one window
+        # radius of x=0 and x=w-1).
+        cx = rng.choice([rng.uniform(2, 40), rng.uniform(w - 40, w - 2)])
+        s = rng.uniform(1.5, 4.0)
+        img += rng.uniform(0.4, 1.0) * np.exp(
+            -((ys_ - cy) ** 2 + (xs_ - cx) ** 2) / (2 * s * s))
+    img -= img.min()
+    img = (255.0 * img / img.max()).astype(np.uint8)
+
+    cfg = SiftConfig(use_input_upsampling=False,
+                     max_nb_sift_per_buffer=512,
+                     input_image_max_size=w * h)
+    out_p = _detect(cfg, img, "pallas")
+    out_x = _detect(cfg, img, "xla")
+    n_p, n_x = int(out_p.features.count), int(out_x.features.count)
+    assert n_p > 5
+    # Must include edge-hugging keypoints for the test premise to hold.
+    xs_det = np.asarray(out_p.features.x)[:n_p]
+    assert (xs_det < 64).any() and (xs_det > w - 64).any()
+    pairs, pos_hit = _match_pairs(out_p, n_p, out_x, n_x)
+    assert pos_hit >= 0.9 * n_p
+    assert len(pairs) >= 0.8 * max(n_p, n_x)
+    dp = np.asarray(out_p.features.descriptor, np.int32)
+    dx = np.asarray(out_x.features.descriptor, np.int32)
+    tight = [(i, j) for (i, j) in pairs
+             if abs(float(out_p.features.orientation[i])
+                    - float(out_x.features.orientation[j])) < 1e-3]
+    diffs = np.concatenate([np.abs(dp[i] - dx[j]) for i, j in tight])
+    assert np.mean(diffs <= 1) > 0.995
+    assert diffs.max() <= 8
+
+
 def test_backhalf_capacity_clamp_and_lost(interpret_mode):
     img = make_blob_image(96, 128, seed=5, nb_blobs=14)
     big = SiftConfig(use_input_upsampling=False,

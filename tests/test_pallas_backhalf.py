@@ -169,6 +169,32 @@ def test_backhalf_border_clamps(interpret_mode):
     assert diffs.max() <= 8
 
 
+def test_hybrid_refine_split_matches_global(interpret_mode, monkeypatch):
+    """The hybrid refine split (big octaves per-octave, small-octave tail
+    in one global walk) must produce the same features as the all-global
+    path; exercised on a small image by lowering the split thresholds."""
+    import vulkansift_tpu.pipeline as pipeline
+    img = make_blob_image(96, 160, seed=7, nb_blobs=16)
+    cfg = SiftConfig(use_input_upsampling=True,
+                     max_nb_sift_per_buffer=512,
+                     input_image_max_size=160 * 96)
+    out_g = _detect(cfg, img, "pallas")
+    monkeypatch.setattr(pipeline, "_GLOBAL_REFINE_MAX_CELLS", 0)
+    monkeypatch.setattr(pipeline, "_PER_OCTAVE_REFINE_MIN_W", 128)
+    out_h = _detect(cfg, img, "pallas")
+    n_g, n_h = int(out_g.features.count), int(out_h.features.count)
+    assert n_g > 10 and n_h == n_g
+    for name in ("x", "y", "scale_x", "scale_y", "sigma", "orientation",
+                 "octave_idx"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_h.features, name))[:n_g],
+            np.asarray(getattr(out_g.features, name))[:n_g],
+            rtol=0, atol=1e-5, err_msg=name)
+    np.testing.assert_array_equal(
+        np.asarray(out_h.features.descriptor)[:n_g],
+        np.asarray(out_g.features.descriptor)[:n_g])
+
+
 def test_backhalf_capacity_clamp_and_lost(interpret_mode):
     img = make_blob_image(96, 128, seed=5, nb_blobs=14)
     big = SiftConfig(use_input_upsampling=False,

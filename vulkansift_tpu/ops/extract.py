@@ -464,7 +464,8 @@ class GlobalRefined(NamedTuple):
 def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
                              oct_res, dog_threshold: float,
                              edge_threshold: float, seed_sigma: float,
-                             upsampling: bool) -> GlobalRefined:
+                             upsampling: bool,
+                             octave_base: int = 0) -> GlobalRefined:
     """One refinement walk for ALL octaves.
 
     The per-octave walks are gather-latency bound on TPU (each of the
@@ -478,6 +479,9 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
       codes: per-octave walk-code fields — interior layout (S, H-2, W-2)
         or the Pallas frontend's full-width layout (S, HR, WP); layouts may
         be mixed across octaves.
+      octave_base: pyramid index of ``dogs[0]`` — nonzero when refining
+        only a tail of the pyramid (the hybrid split in pipeline.py:
+        big octaves walk per-octave, small octaves share one walk).
     """
     nb_oct = len(oct_res)
 
@@ -598,7 +602,7 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
     ok &= (edgeness < ((e + 1.0) ** 2 / e)) & (edgeness >= 0)
     ok &= in_count
 
-    octave_idx = oct_id - (1 if upsampling else 0)
+    octave_idx = octave_base + oct_id - (1 if upsampling else 0)
     scale_factor = jnp.exp2(octave_idx.astype(jnp.float32))
     sigma = seed_sigma * jnp.exp2(subpix_s / nb_scales) * scale_factor
     refined = RefinedKeypoints(

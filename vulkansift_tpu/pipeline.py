@@ -52,6 +52,15 @@ from .ops.patches import PatchSet, gather_patches
 from .types import Features
 
 
+# Refine-path selection (pallas back-half): pyramids up to this many DoG
+# cells take ONE global walk for all octaves; above it, octaves at least
+# _PER_OCTAVE_REFINE_MIN_W wide walk per-octave (live-count bucketed) and
+# the small-octave tail shares one global walk. Module-level so tests can
+# exercise the hybrid split on small images.
+_GLOBAL_REFINE_MAX_CELLS = 16_000_000
+_PER_OCTAVE_REFINE_MIN_W = 1024
+
+
 class DetectOutput(NamedTuple):
     features: Features
     lost: jax.Array              # i32[] features dropped at capacity clamps
@@ -190,7 +199,7 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
                 codes.append(code)
 
             total_cells = sum((h * w) for (h, w) in oct_shapes) * (s + 2)
-            if backhalf == "pallas" and total_cells <= 16_000_000:
+            if backhalf == "pallas" and total_cells <= _GLOBAL_REFINE_MAX_CELLS:
                 # One walk for all octaves: the per-octave scans are
                 # gather-latency bound (5 gathers x nb_octaves -> 5
                 # gathers). Only worth it when the flat code/DoG concats
@@ -204,8 +213,16 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
                     upsampling=cfg.use_input_upsampling)
                 refined_list = [gref.refined]
             else:
+                # Hybrid: big octaves get per-octave live-count-bucketed
+                # walks (flat concats of their DoG would dominate);
+                # the small-octave TAIL shares one global walk — its flat
+                # copies are tiny while 5 walk + 9 final gathers PER small
+                # octave are pure per-op dispatch floors (~1 ms total).
+                nb_big = sum(1 for (ow, _) in oct_res
+                             if ow >= _PER_OCTAVE_REFINE_MIN_W)
                 refined_list = []
-                for o, (ow, oh) in enumerate(oct_res):
+                for o in range(nb_big if backhalf == "pallas" else nb_oct):
+                    ow, oh = oct_res[o]
                     octave_idx = o - (1 if cfg.use_input_upsampling else 0)
                     refined_list.append(extract.refine_candidates(
                         dogs[o], cands[o], nb_scales=s, width=ow,
@@ -213,6 +230,16 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
                         edge_threshold=cfg.edge_threshold,
                         seed_sigma=cfg.seed_scale_sigma,
                         octave_idx=octave_idx, code=codes[o]))
+                if backhalf == "pallas" and nb_big < nb_oct:
+                    gref = extract.refine_candidates_global(
+                        dogs[nb_big:], cands[nb_big:], codes[nb_big:],
+                        nb_scales=s, oct_res=oct_res[nb_big:],
+                        dog_threshold=cfg.dog_threshold,
+                        edge_threshold=cfg.edge_threshold,
+                        seed_sigma=cfg.seed_scale_sigma,
+                        upsampling=cfg.use_input_upsampling,
+                        octave_base=nb_big)
+                    refined_list.append(gref.refined)
             if bucketed and valid_w is not None:
                 # Drop keypoints detected in the bucket's padding region.
                 vw = jnp.asarray(valid_w, jnp.float32)

@@ -167,6 +167,56 @@ def main():
 
     scan_timed(nb27, idxf, feed0, "final 27x1 gathers")
 
+    # Upsample lane-interleave A/B: native stack+reshape vs MXU matmul
+    # (scale_space.upsample2x_linear picks the matmul on TPU; this pair
+    # verifies that choice stays right).
+    src = jax.random.uniform(key, (1024, 1536), jnp.float32)
+
+    def up_stack(x):
+        xp = jnp.pad(x, ((0, 0), (1, 1)), mode="edge")
+        even = 0.25 * xp[:, :-2] + 0.75 * xp[:, 1:-1]
+        odd = 0.75 * xp[:, 1:-1] + 0.25 * xp[:, 2:]
+        return jnp.stack([even, odd], axis=2).reshape(x.shape[0], -1)
+
+    def up_matmul(x):
+        n = x.shape[1]
+        xp = jnp.pad(x, ((0, 0), (1, 1)), mode="edge")
+        even = 0.25 * xp[:, :-2] + 0.75 * xp[:, 1:-1]
+        odd = 0.75 * xp[:, 1:-1] + 0.25 * xp[:, 2:]
+        eo = jnp.concatenate([even, odd], axis=1)
+        sel = jnp.zeros((2 * n, 2 * n), jnp.float32)
+        sel = sel.at[jnp.arange(n), jnp.arange(0, 2 * n, 2)].set(1)
+        sel = sel.at[n + jnp.arange(n), jnp.arange(1, 2 * n, 2)].set(1)
+        return jax.lax.dot_general(
+            eo, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    scan_timed(up_stack, src, feed0, "up-lane stack+reshape")
+    scan_timed(up_matmul, src, feed0, "up-lane MXU interleave")
+
+    # top_k(36 -> 4) vs iterative max+mask peak selection.
+    def peaks_topk(h):
+        vals, idx = jax.lax.top_k(h, 4)
+        return vals + idx.astype(jnp.float32)
+
+    def peaks_iter(h):
+        outs = []
+        cur = h
+        lanes = jnp.arange(36, dtype=jnp.float32)[None, :]
+        for _ in range(4):
+            m = jnp.max(cur, axis=1, keepdims=True)
+            hit = cur == m
+            first = (jnp.cumsum(hit.astype(jnp.int32), axis=1)
+                     == 1) & hit
+            idx = jnp.sum(jnp.where(first, lanes, 0.0), axis=1)
+            outs.append(m[:, 0] + idx)
+            cur = jnp.where(first, -jnp.inf, cur)
+        return jnp.stack(outs, axis=1)
+
+    scan_timed(peaks_topk, hist, feed0, "top_k 4-of-36 (32k)")
+    scan_timed(peaks_iter, hist, feed0, "iter-max 4-of-36 (32k)")
+
 
 if __name__ == "__main__":
     main()

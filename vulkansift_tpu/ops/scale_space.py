@@ -83,9 +83,16 @@ def upsample2x_linear(img: jax.Array) -> jax.Array:
     dst[2k]   = 0.25*src[k-1] + 0.75*src[k]
     dst[2k+1] = 0.75*src[k]   + 0.25*src[k+1]
     applied separably to rows then columns.
+
+    TPU note: interleaving along the minor (lane) axis via stack+reshape
+    is the relayout-dual of the stride-2 slice (measured 17.5 ms at
+    3072x2048); the lane axis instead rides the MXU with an interleave
+    matmul ``[even | odd] @ [E; O]`` where E/O scatter column k to output
+    columns 2k/2k+1 (exact: single-term dot products). The sublane (row)
+    axis interleaves natively, which is cheap.
     """
 
-    def up1d(x: jax.Array, axis: int) -> jax.Array:
+    def up1d_parts(x: jax.Array, axis: int):
         n = x.shape[axis]
         pad = [(0, 0)] * x.ndim
         pad[axis] = (1, 1)
@@ -95,7 +102,22 @@ def upsample2x_linear(img: jax.Array) -> jax.Array:
         nxt = jax.lax.slice_in_dim(xp, 2, n + 2, axis=axis)    # src[k+1]
         even = 0.25 * prev + 0.75 * cur
         odd = 0.75 * cur + 0.25 * nxt
-        # interleave along axis
+        return even, odd
+
+    def up1d(x: jax.Array, axis: int) -> jax.Array:
+        n = x.shape[axis]
+        even, odd = up1d_parts(x, axis)
+        if (axis == x.ndim - 1 and jax.default_backend() == "tpu"
+                and n >= 256):
+            eo = jnp.concatenate([even, odd], axis=-1)         # (.., 2n)
+            sel = jnp.zeros((2 * n, 2 * n), jnp.float32)
+            sel = sel.at[jnp.arange(n), jnp.arange(0, 2 * n, 2)].set(1)
+            sel = sel.at[n + jnp.arange(n), jnp.arange(1, 2 * n, 2)].set(1)
+            return jax.lax.dot_general(
+                eo.astype(jnp.float32), sel,
+                (((eo.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
         stacked = jnp.stack([even, odd], axis=axis + 1)
         new_shape = list(x.shape)
         new_shape[axis] = 2 * n

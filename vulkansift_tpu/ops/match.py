@@ -44,7 +44,11 @@ def _top2_of_tile(d2: jax.Array, col_offset: jax.Array
     """Per-row (best, best_idx, second, second_idx) of a (N, T) tile."""
     i1 = jnp.argmin(d2, axis=1)
     d1 = jnp.take_along_axis(d2, i1[:, None], axis=1)[:, 0]
-    masked = d2.at[jnp.arange(d2.shape[0]), i1].set(_INF)
+    # Dense compare instead of a row scatter: the scatter is per-element
+    # latency-bound AND forces d2 to materialize; the compare fuses into
+    # the second argmin's input.
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    masked = jnp.where(cols == i1[:, None].astype(jnp.int32), _INF, d2)
     i2 = jnp.argmin(masked, axis=1)
     d2nd = jnp.take_along_axis(masked, i2[:, None], axis=1)[:, 0]
     return (d1, i1.astype(jnp.int32) + col_offset,

@@ -217,6 +217,45 @@ def main():
     scan_timed(peaks_topk, hist, feed0, "top_k 4-of-36 (32k)")
     scan_timed(peaks_iter, hist, feed0, "iter-max 4-of-36 (32k)")
 
+    # Matcher per-tile top-2: two argmin passes (current) vs ONE variadic
+    # reduce with a lexicographic top-2 combiner (fuses into the matmul
+    # epilogue if XLA lowers tuple reduces well on TPU).
+    from vulkansift_tpu.ops.match import _top2_of_tile
+
+    tile = jax.random.uniform(key, (16384, 2048), jnp.float32)
+
+    def top2_argmin(t):
+        d1, i1, d2, i2 = _top2_of_tile(t, jnp.int32(0))
+        return d1 + d2 + i1.astype(jnp.float32) + i2.astype(jnp.float32)
+
+    def top2_vreduce(t):
+        n, m = t.shape
+        cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        inf = jnp.float32(jnp.inf)
+
+        def comb(a, b):
+            ad1, ai1, ad2, ai2 = a
+            bd1, bi1, bd2, bi2 = b
+            t1 = (bd1 < ad1) | ((bd1 == ad1) & (bi1 < ai1))
+            nd1 = jnp.where(t1, bd1, ad1)
+            ni1 = jnp.where(t1, bi1, ai1)
+            ld = jnp.where(t1, ad1, bd1)
+            li = jnp.where(t1, ai1, bi1)
+            wd = jnp.where(t1, bd2, ad2)
+            wi = jnp.where(t1, bi2, ai2)
+            t2 = (ld < wd) | ((ld == wd) & (li < wi))
+            return (nd1, ni1, jnp.where(t2, ld, wd),
+                    jnp.where(t2, li, wi))
+
+        d1, i1, d2, i2 = jax.lax.reduce(
+            (t, cols, jnp.full(t.shape, inf), jnp.zeros(t.shape, jnp.int32)),
+            (inf, jnp.int32(0), inf, jnp.int32(0)),
+            comb, (1,))
+        return d1 + d2 + i1.astype(jnp.float32) + i2.astype(jnp.float32)
+
+    scan_timed(top2_argmin, tile, feed0, "top2 2-argmin (16kx2k)")
+    scan_timed(top2_vreduce, tile, feed0, "top2 vreduce (16kx2k)")
+
 
 if __name__ == "__main__":
     main()

@@ -457,11 +457,14 @@ def _make_hist_kernel_packed(geom: _KernelGeom, capp: int, edge: int):
 
         ysA, ssA, dA = dec(2 * step)
         ysB, ssB, dB = dec(2 * step + 1)
-        wa_r = pltpu.roll(wa, jnp.mod(128 - dA, 128), 1)
-        wb_r = pltpu.roll(wb, jnp.mod(64 - dB, 128), 1)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         in_a1 = lane1 < 64
-        win = jnp.where(in_a1, wa_r, wb_r)
+        in_a = jj < 64
+        wa_r = pltpu.roll(wa, jnp.mod(128 - dA, 128), 1)
+        wb_r = pltpu.roll(wb, jnp.mod(64 - dB, 128), 1)
+        win = jnp.where(in_a, wa_r, wb_r)
 
         gx = 0.5 * (pltpu.roll(win, wc - 1, 1) - pltpu.roll(win, 1, 1))
         gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
@@ -475,14 +478,11 @@ def _make_hist_kernel_packed(geom: _KernelGeom, capp: int, edge: int):
         cx, cy = sel(3), sel(4)
         ylo, yhi, xhi = sel(5), sel(6), sel(7)
 
-        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
         ybase = jnp.where(in_a1, ysA, ysB).astype(jnp.float32)
         xbase = jnp.where(in_a1, ssA + dA,
                           ssB + dB - 64).astype(jnp.float32)
         py = ybase + ii.astype(jnp.float32)
         px = xbase + jj.astype(jnp.float32)
-        in_a = lane1 < 64
         mask0 = ((ii >= 1) & (ii <= wr - 2)
                  & jnp.where(in_a, (jj >= 1) & (jj <= 62),
                              (jj >= 65) & (jj <= 126))
@@ -504,7 +504,7 @@ def _make_hist_kernel_packed(geom: _KernelGeom, capp: int, edge: int):
         def flat(x):
             return x.reshape(1, n)
 
-        m_a = flat(jnp.broadcast_to(in_a.astype(jnp.float32), (wr, wc)))
+        m_a = flat(in_a.astype(jnp.float32))
         omf = flat(om)
         om2 = jnp.concatenate([omf * m_a, omf * (1.0 - m_a)], axis=0)
         b36 = jnp.concatenate(
@@ -754,13 +754,17 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
         ysA, ssA, dA = dec(2 * step)
         ysB, ssB, dB = dec(2 * step + 1)
 
+        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        in_a1 = lane1 < 64       # (1, 128) for metadata rows
+        in_a = jj < 64           # (wr, wc) for window-shaped selects
+
         # Reposition: lane j of the combined window holds window column
         # j (pair A, j < 64) or j - 64 (pair B).
         wa_r = pltpu.roll(wa, jnp.mod(128 - dA, 128), 1)
         wb_r = pltpu.roll(wb, jnp.mod(64 - dB, 128), 1)
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        in_a1 = lane1 < 64
-        win = jnp.where(in_a1, wa_r, wb_r)
+        win = jnp.where(in_a, wa_r, wb_r)
 
         gx = 0.5 * (pltpu.roll(win, wc - 1, 1) - pltpu.roll(win, 1, 1))
         gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
@@ -775,14 +779,11 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
         ylo, yhi, xhi = sel(5), sel(6), sel(7)
         ang = sel(8)
 
-        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
         ybase = jnp.where(in_a1, ysA, ysB).astype(jnp.float32)
         xbase = jnp.where(in_a1, ssA + dA, ssB + dB - 64).astype(jnp.float32)
         py = ybase + ii.astype(jnp.float32)
         px = xbase + jj.astype(jnp.float32)
 
-        in_a = lane1 < 64   # broadcasts against (wr, wc)
         mask0 = ((ii >= 1) & (ii <= wr - 2)
                  & jnp.where(in_a, (jj >= 1) & (jj <= 62),
                              (jj >= 65) & (jj <= 126))
@@ -830,8 +831,7 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
                 0.0, 1.0 - jnp.minimum(jnp.abs(fb - o),
                                        NB_ORI - jnp.abs(fb - o))))
              for o in range(NB_ORI)], axis=0)             # (8, N)
-        m_a = flat(jnp.broadcast_to(
-            in_a.astype(jnp.float32), (wr, wc)))           # (1, N)
+        m_a = flat(in_a.astype(jnp.float32))               # (1, N)
         o16 = jnp.concatenate([o8 * m_a, o8 * (1.0 - m_a)], axis=0)
         acc = jax.lax.dot_general(
             w16.astype(jnp.bfloat16), o16.astype(jnp.bfloat16),

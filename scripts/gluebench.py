@@ -99,7 +99,6 @@ def main():
         return jnp.concatenate(bands, axis=1)
 
     scan_timed(atlas_build, gaussians, feed0, "atlas pad+concat")
-    scan_timed(pb.make_shifted_copies, big, feed0, "shifted copies (roll)")
 
     hist = jax.random.uniform(key, (cap, 36), jnp.float32)
     scan_timed(lambda h: peaks_from_histograms(h, 4).angles, hist, feed0,

@@ -50,9 +50,9 @@ def main():
     rng = np.random.default_rng(0)
     # Generate on device: shipping a ~370 MB host array through the axon
     # tunnel takes many minutes (transfers are ~MB/s scale).
-    g4 = jax.jit(lambda k: pb.make_shifted_copies(jax.random.uniform(
-        k, (L, h_atlas, w_atlas), jnp.float32)))(jax.random.key(0))
-    _ = float(g4[0, 0, 0, 0])
+    g4 = jax.jit(lambda k: jax.random.uniform(
+        k, (L, h_atlas, w_atlas), jnp.float32))(jax.random.key(0))
+    _ = float(g4[0, 0, 0])
     print("atlas ready", flush=True)
 
     # Synthetic keypoints: uniform over the big band, sigma distribution
@@ -80,13 +80,10 @@ def main():
         return jnp.asarray(np.stack(cols, -1).reshape(cap, 1, width))
 
     def mk_addr(r1, wr, wc):
-        sh = pb._SHIFT
         ys_w = np.clip(((ys - r1) // 8) * 8, 0, h_atlas - wr)
-        ss = np.clip(((xs - r1) // sh) * sh, 0, w_atlas - (wc - sh))
-        cidx = (ss % 128) // sh
-        ax = ss - sh * cidx
-        w = (cidx + (layer << 2) + ((ys_w // 8) << 5)
-             + ((ax // 128) << 16)
+        ss = np.clip(((xs - r1) // 128) * 128, 0, w_atlas - wc)
+        w = (layer + ((ys_w // 8) << pb._ADDR_YS_SHIFT)
+             + ((ss // 128) << pb._ADDR_AX_SHIFT)
              + ((xs - r1 - ss + 64) << pb._ADDR_SH_SHIFT))
         return jnp.asarray(w.astype(np.int32))
 
@@ -94,9 +91,9 @@ def main():
 
     # K1 orientation
     ori_edge = pb.ori_window_edge(pb._sigma_max(cfg, s + 1))
-    ori_geom = pb._KernelGeom(wr=pb._window_rows(ori_edge), wc=128,
+    ori_geom = pb._KernelGeom(wr=pb._window_rows(ori_edge), wc=256,
                               h8=h_atlas, w32=w_atlas)
-    addr1 = mk_addr((ori_edge - 1) // 2, ori_geom.wr, 128)
+    addr1 = mk_addr((ori_edge - 1) // 2, ori_geom.wr, 256)
     meta1 = mk_meta()
     f1 = jax.jit(functools.partial(pb.orientation_hist_tpu, geom=ori_geom))
     ms = timed(f1, (g4, count, addr1, meta1))
@@ -104,7 +101,7 @@ def main():
           f"(wr={ori_geom.wr}, wc=128)", flush=True)
 
     if ori_edge <= pb._PACK_MAX_EDGE:
-        addr1p = mk_addr((ori_edge - 1) // 2, ori_geom.wr, 128)
+        addr1p = mk_addr((ori_edge - 1) // 2, ori_geom.wr, 256)
         f1p = jax.jit(functools.partial(pb.orientation_hist_tpu_packed,
                                         geom=ori_geom, edge=ori_edge))
         ms = timed(f1p, (g4, count, addr1p, meta1))
@@ -115,7 +112,7 @@ def main():
     wrs = pb.kernel_window_rows(cfg)
     edges = pb.desc_bucket_edges(cfg)
     for b in range(len(edges)):
-        wc = 128 if edges[b] + pb._SHIFT - 1 <= 128 else 256
+        wc = 256
         geom = pb._KernelGeom(wr=wrs[b], wc=wc, h8=h_atlas, w32=w_atlas)
         addr2 = mk_addr((edges[b] - 1) // 2, wrs[b], wc)
         meta2 = mk_meta(extra=ang)

@@ -27,11 +27,13 @@ that is small moves OUT to batched XLA):
   (ComputeDescriptors.comp:106-198) — replacing the shader's fixed-point
   shared-memory atomics.
 
-Window DMA alignment: rows align to 8 (f32 sublane tile); columns use two
-64-lane-shifted atlas copies so any 64-aligned window start maps to a
-128-aligned DMA on one copy, and every kernel repositions the DMA'd
-content to lane 0 with a dynamic in-kernel roll (windows wider than 65 px
-DMA two lane tiles and slice back to one after the roll). Keypoint/pair
+Window DMA alignment: rows align to 8 (f32 sublane tile); every window
+DMAs TWO lane tiles (256 cols) from the single atlas at a 128-aligned
+start, and the kernel repositions the content to lane 0 with a dynamic
+in-kernel roll, slicing back to one 128-lane tile for compute — so no
+lane-shifted atlas copies exist at all (rounds 1-2 built 4 then 2 shifted
+copies to avoid in-kernel rolls; the copies were the largest allocation
+and their build the largest fixed cost at big resolutions). Keypoints/
 pairs whose window fits a 64-lane half run 2-per-grid-step through the
 *packed* kernel variants (content rolled to lanes 0 and 64, per-pixel
 math shared — the kernels are VPU-bound and lanes past the window edge
@@ -57,8 +59,6 @@ from ..config import (LAMBDA_DESCRIPTOR, LAMBDA_ORIENTATION, NB_HIST, NB_ORI,
                       NB_ORI_HIST_BINS, ORI_PEAK_RATIO, SiftConfig)
 
 _TWO_PI = 2.0 * math.pi
-_N_COPIES = 2          # lane-shift copies (64-lane granularity)
-_SHIFT = 128 // _N_COPIES
 _N_BUF = 8             # DMA multi-buffering slots
 _PREFETCH = 7          # DMA prefetch distance (< _N_BUF)
 # Largest descriptor window edge eligible for the 2-pairs-per-window
@@ -171,68 +171,27 @@ class _KernelGeom(NamedTuple):
     w32: int  # padded atlas cols (128-multiple)
 
 
-# Packed DMA-address word: cidx (2b) | layer (3b) | ys/8 (11b) | ax/128 (7b)
-# | delta+64 (8b). delta = (cx - r1) - window_start: every kernel
-# repositions its window content to lane 0 (or lane 64 for a packed pair's
-# B half) with a dynamic lane roll of this amount. Field widths bound the
-# atlas at 16384 rows and 16256 cols (asserted in run_atlas) and delta at
-# [-64, 191] (worst case is the wc=256 bucket's right-edge clamp, 149).
-_ADDR_LAYER_SHIFT = 2
-_ADDR_YS_SHIFT = 5
-_ADDR_AX_SHIFT = 16
-_ADDR_SH_SHIFT = 23
+# Packed DMA-address word: layer (3b) | ys/8 (11b) | ax/128 (7b) |
+# delta+64 (9b). Windows DMA from the SINGLE atlas at 128-aligned lane
+# starts (two lane tiles wide) and every kernel repositions the content to
+# lane 0 (or lane 64 for a packed pair's B half) with a dynamic roll of
+# ``delta = (cx - r1) - window_start`` — so no lane-shifted atlas copies
+# exist at all. Field widths bound the atlas at 16384 rows and 16256 cols
+# (asserted in run_atlas) and delta at [-64, 447] (worst case is the
+# right-edge clamp, 256 - r1).
+_ADDR_YS_SHIFT = 3
+_ADDR_AX_SHIFT = 14
+_ADDR_SH_SHIFT = 21
 
 
-def pack_addr(cidx, layer, ys, ax, delta):
-    # cidx is the lane shift-copy index.
-    return (cidx + (layer << _ADDR_LAYER_SHIFT)
-            + ((ys // 8) << _ADDR_YS_SHIFT)
+def pack_addr(layer, ys, ax, delta):
+    return (layer + ((ys // 8) << _ADDR_YS_SHIFT)
             + ((ax // 128) << _ADDR_AX_SHIFT)
             + ((delta + 64) << _ADDR_SH_SHIFT)).astype(jnp.int32)
 
 
 def _decode_delta(a):
-    return jax.lax.rem(a >> _ADDR_SH_SHIFT, 256) - 64
-
-
-def _copies_kernel(src_ref, out_ref):
-    x = src_ref[0]                                     # (HB, W)
-    w = x.shape[-1]
-    rows = [x] + [pltpu.roll(x, w - _SHIFT * c, 1)
-                  for c in range(1, _N_COPIES)]
-    out_ref[...] = jnp.stack(rows)[:, None]
-
-
-def make_shifted_copies(atlas: jax.Array) -> jax.Array:
-    """(L, H, W) f32 atlas -> (N, L, H, W) lane-shifted copies.
-
-    Copy c is rolled left by c*_SHIFT lanes, so any _SHIFT-aligned window
-    start maps to a 128-aligned DMA on exactly one copy. _SHIFT=64 (2
-    copies): kernels reposition the DMA'd window content to lane 0 with a
-    dynamic in-kernel roll (see _window_fields), so the copies only need
-    to bound the DMA width — edge + 63 slack <= 128 keeps every packable
-    bucket at one lane tile, and the largest bucket DMAs two tiles but
-    still computes on 128 lanes after the roll. (Round 2 used 4 copies at
-    32-lane granularity to avoid in-kernel rolls entirely; the packed
-    kernels need rolls anyway, and halving the copies halves the atlas
-    build traffic and footprint — the atlas is the largest allocation at
-    big resolutions.)
-
-    One Pallas pass (read once, write N) — XLA lowers jnp.roll to
-    slice+pad+maximum chains costing ~7.5 ms for the 4-copy atlas at
-    1536x1024; this kernel runs at memory speed."""
-    l, h, w = atlas.shape
-    hb = next(b for b in (64, 32, 16, 8, 4, 2, 1) if h % b == 0)
-    return pl.pallas_call(
-        _copies_kernel,
-        grid=(l, h // hb),
-        in_specs=[pl.BlockSpec((1, hb, w), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_N_COPIES, 1, hb, w),
-                               lambda i, j: (0, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((_N_COPIES, l, h, w), atlas.dtype),
-    )(atlas)
+    return jax.lax.rem(a >> _ADDR_SH_SHIFT, 512) - 64
 
 
 # ---------------------------------------------------------------------------
@@ -252,13 +211,12 @@ def _dma_machinery(count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp,
 
     def _start(idx, i):
         a = addr_ref[idx]
-        cidx = jax.lax.rem(a, 4)
-        layer = jax.lax.rem(a >> _ADDR_LAYER_SHIFT, 8)
+        layer = jax.lax.rem(a, 8)
         ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
         ax = jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
         slot = jax.lax.rem(i, _N_BUF)
         pltpu.make_async_copy(
-            gauss_ref.at[cidx, layer,
+            gauss_ref.at[layer,
                          pl.ds(pl.multiple_of(ys, 8), wr),
                          pl.ds(pl.multiple_of(ax, 128), wc)],
             wscr.at[slot], sems.at[slot]).start()
@@ -275,7 +233,7 @@ def _dma_machinery(count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp,
     def wait_current(step):
         slot = jax.lax.rem(step, _N_BUF)
         pltpu.make_async_copy(
-            gauss_ref.at[0, 0, pl.ds(0, wr), pl.ds(0, wc)],
+            gauss_ref.at[0, pl.ds(0, wr), pl.ds(0, wc)],
             wscr.at[slot], sems.at[slot]).wait()
         return wscr[slot]
 
@@ -296,8 +254,7 @@ def _window_fields(win, step, addr_ref, meta, geom):
     wr, wc = geom.wr, geom.wc
     a = addr_ref[step]
     ys0 = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
-    ss0 = (jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
-           + jax.lax.rem(a, 4) * _SHIFT)
+    ss0 = jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
     delta = _decode_delta(a)
 
     win = pltpu.roll(win, jnp.mod(wc - delta, wc), 1)
@@ -421,7 +378,7 @@ def _make_hist_kernel_packed(geom: _KernelGeom, capp: int, edge: int):
     reduction trees were the dominant op-issue cost of the unpacked
     kernel."""
     wr, wc = geom.wr, geom.wc
-    assert wc == 128 and edge <= _PACK_MAX_EDGE
+    assert edge <= _PACK_MAX_EDGE
     n = wr * 128
     nb = NB_ORI_HIST_BINS
     r1 = (edge - 1) // 2
@@ -451,22 +408,21 @@ def _make_hist_kernel_packed(geom: _KernelGeom, capp: int, edge: int):
             a = addr_ref[jnp.clip(jnp.minimum(i, count_ref[0] - 1), 0,
                                   capp - 1)]
             ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
-            ss = (jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
-                  + jax.lax.rem(a, 4) * _SHIFT)
+            ss = jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
             return ys, ss, _decode_delta(a)
 
         ysA, ssA, dA = dec(2 * step)
         ysB, ssB, dB = dec(2 * step + 1)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 1)
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         in_a1 = lane1 < 64
         in_a = jj < 64
-        wa_r = pltpu.roll(wa, jnp.mod(128 - dA, 128), 1)
-        wb_r = pltpu.roll(wb, jnp.mod(64 - dB, 128), 1)
+        wa_r = pltpu.roll(wa, jnp.mod(wc - dA, wc), 1)[:, :128]
+        wb_r = pltpu.roll(wb, jnp.mod(64 - dB, wc), 1)[:, :128]
         win = jnp.where(in_a, wa_r, wb_r)
 
-        gx = 0.5 * (pltpu.roll(win, wc - 1, 1) - pltpu.roll(win, 1, 1))
+        gx = 0.5 * (pltpu.roll(win, 127, 1) - pltpu.roll(win, 1, 1))
         gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
         mag = jnp.sqrt(gx * gx + gy * gy)
         theta = atan2_0_2pi(gy, gx)
@@ -715,7 +671,7 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
     masks reject.
     """
     wr, wc = geom.wr, geom.wc
-    assert wc == 128 and edge <= _PACK_MAX_EDGE
+    assert edge <= _PACK_MAX_EDGE
     n = wr * 128
     half_cells = NB_HIST / 2.0
     r1 = (edge - 1) // 2
@@ -747,26 +703,26 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
             a = addr_ref[jnp.clip(jnp.minimum(i, count_ref[0] - 1), 0,
                                   capp - 1)]
             ys = jax.lax.rem(a >> _ADDR_YS_SHIFT, 2048) * 8
-            ss = (jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
-                  + jax.lax.rem(a, 4) * _SHIFT)
+            ss = jax.lax.rem(a >> _ADDR_AX_SHIFT, 128) * 128
             return ys, ss, _decode_delta(a)
 
         ysA, ssA, dA = dec(2 * step)
         ysB, ssB, dB = dec(2 * step + 1)
 
-        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (wr, 128), 1)
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         in_a1 = lane1 < 64       # (1, 128) for metadata rows
-        in_a = jj < 64           # (wr, wc) for window-shaped selects
+        in_a = jj < 64           # (wr, 128) for window-shaped selects
 
         # Reposition: lane j of the combined window holds window column
-        # j (pair A, j < 64) or j - 64 (pair B).
-        wa_r = pltpu.roll(wa, jnp.mod(128 - dA, 128), 1)
-        wb_r = pltpu.roll(wb, jnp.mod(64 - dB, 128), 1)
+        # j (pair A, j < 64) or j - 64 (pair B); the DMA'd windows are two
+        # lane tiles wide, sliced back to one after the roll.
+        wa_r = pltpu.roll(wa, jnp.mod(wc - dA, wc), 1)[:, :128]
+        wb_r = pltpu.roll(wb, jnp.mod(64 - dB, wc), 1)[:, :128]
         win = jnp.where(in_a, wa_r, wb_r)
 
-        gx = 0.5 * (pltpu.roll(win, wc - 1, 1) - pltpu.roll(win, 1, 1))
+        gx = 0.5 * (pltpu.roll(win, 127, 1) - pltpu.roll(win, 1, 1))
         gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
         mag = jnp.sqrt(gx * gx + gy * gy)
         theta = atan2_0_2pi(gy, gx)
@@ -942,11 +898,13 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
 
     # --- build the atlas: octave bands stacked vertically ---------------
     with jax.named_scope("AtlasBuild"):
-        # Width must hold the widest kernel window (wc = 256 when a
-        # descriptor bucket's edge exceeds 128 - _SHIFT + 1), not just the
-        # widest octave — otherwise small-image window DMAs read OOB.
-        max_wc = max(128 if e + _SHIFT - 1 <= 128 else 256
-                     for e in desc_bucket_edges(config))
+        # Every window DMA is two lane tiles (256) wide from the single
+        # atlas at a 128-aligned start; kernels roll content into place.
+        # The width must hold one full DMA window — otherwise small-image
+        # window DMAs read OOB.
+        max_wc = 256
+        assert max(desc_bucket_edges(config)) <= 129, (
+            "descriptor window edge exceeds the two-lane-tile DMA window")
         w_atlas = _round_up(max(max_wc, max(ow for ow, _ in oct_res)), 128)
         band_off = []
         rows = 0
@@ -975,7 +933,6 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         if atlas.shape[1] != h_atlas:
             atlas = jnp.pad(atlas, ((0, 0), (0, h_atlas - atlas.shape[1]),
                                     (0, 0)))
-        g4 = make_shifted_copies(atlas)
 
     # --- global keypoint arrays (concat over octaves) --------------------
     def cat(field):
@@ -1033,31 +990,28 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         bcy = rec[:, 4].astype(jnp.int32)
         lay = jnp.clip(rec[:, 13].astype(jnp.int32), 0, nb_layers - 1)
         ys = _window_start(bcy, r1, 8, h_atlas - wr)
-        ss = _window_start(bcx, r1, _SHIFT, w_atlas - (wc - _SHIFT))
-        cidx_ = (ss % 128) // _SHIFT
-        ax = ss - _SHIFT * cidx_
+        ss = _window_start(bcx, r1, 128, w_atlas - wc)
         # delta repositions the window content to lane 0 in-kernel.
-        return pack_addr(cidx_, lay, ys, ax, delta=bcx - r1 - ss)
+        return pack_addr(lay, ys, ss, delta=bcx - r1 - ss)
 
     # --- K1: orientation histograms for ALL valid keypoints --------------
     with jax.named_scope("ComputeOrientation"):
         sig_max_all = _sigma_max(config, s + 1)
         ori_edge = ori_window_edge(sig_max_all)
-        ori_wc = 128 if ori_edge + _SHIFT - 1 <= 128 else 256
-        ori_geom = _KernelGeom(wr=_window_rows(ori_edge), wc=ori_wc,
+        ori_geom = _KernelGeom(wr=_window_rows(ori_edge), wc=256,
                                h8=h_atlas, w32=w_atlas)
         kidx, kcnt = rank_select_fn(valid, total_cap)
         rec_k = REC[kidx]                                # one row gather
         ori_packed = ori_edge <= _PACK_MAX_EDGE
         ori_addr = addr_from_rec(rec_k, (ori_edge - 1) // 2,
-                                 ori_geom.wr, ori_wc)
+                                 ori_geom.wr, 256)
         if ori_packed:
             hist = orientation_hist_tpu_packed(
-                g4, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
+                atlas, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
                 geom=ori_geom, edge=ori_edge)
         else:
             hist = orientation_hist_tpu(
-                g4, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
+                atlas, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
                 geom=ori_geom)
 
         # peaks (vectorized XLA; tiny per-keypoint vectors are op-issue
@@ -1132,7 +1086,7 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
                 [rec_p[:, :8], angle[:, None], rec_p[:, 8:15]], axis=1)
             addrs, metas, scnts, branks = [], [], [], []
             for b in range(nbk):
-                wc = 128 if edges[b] + _SHIFT - 1 <= 128 else 256
+                wc = 256
                 sel = live & (pair_bucket == b)
                 sidx, scnt = rank_select_fn(sel, p)
                 rec_b = rec_pa[sidx]
@@ -1159,15 +1113,14 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     with jax.named_scope("ComputeDescriptors"):
         raws = []
         for b in range(nbk):
-            wc = 128 if edges[b] + _SHIFT - 1 <= 128 else 256
-            geom = _KernelGeom(wr=wrs[b], wc=wc, h8=h_atlas, w32=w_atlas)
+            geom = _KernelGeom(wr=wrs[b], wc=256, h8=h_atlas, w32=w_atlas)
             if edges[b] <= _PACK_MAX_EDGE:
                 raw = descriptor_tpu_packed(
-                    g4, scnts[b], addrs[b], metas[b].reshape(-1, 1, 16),
+                    atlas, scnts[b], addrs[b], metas[b].reshape(-1, 1, 16),
                     geom=geom, edge=edges[b], use_vlfeat=use_vlfeat)
             else:
                 raw = descriptor_tpu(
-                    g4, scnts[b], addrs[b], metas[b].reshape(-1, 1, 16),
+                    atlas, scnts[b], addrs[b], metas[b].reshape(-1, 1, 16),
                     geom=geom, use_vlfeat=use_vlfeat)
             raws.append(raw.reshape(capacity, d128))
 

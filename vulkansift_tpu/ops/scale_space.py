@@ -113,11 +113,13 @@ def upsample2x_linear(img: jax.Array) -> jax.Array:
             sel = jnp.zeros((2 * n, 2 * n), jnp.float32)
             sel = sel.at[jnp.arange(n), jnp.arange(0, 2 * n, 2)].set(1)
             sel = sel.at[n + jnp.arange(n), jnp.arange(1, 2 * n, 2)].set(1)
+            # Default (bf16x3) precision is EXACT here: each selector
+            # column has a single unit entry, and the bf16x3 operand split
+            # reconstructs f32 values exactly under multiply-by-one.
             return jax.lax.dot_general(
                 eo.astype(jnp.float32), sel,
                 (((eo.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+                preferred_element_type=jnp.float32).astype(x.dtype)
         stacked = jnp.stack([even, odd], axis=axis + 1)
         new_shape = list(x.shape)
         new_shape[axis] = 2 * n

@@ -59,6 +59,11 @@ from .types import Features
 # exercise the hybrid split on small images.
 _GLOBAL_REFINE_MAX_CELLS = 16_000_000
 _PER_OCTAVE_REFINE_MIN_W = 1024
+# Octaves at least this wide take the Pallas dense-frontend kernel; below
+# it the XLA dense_frontend wins (kernel launch amortization, measured
+# round 2 at 1024 — candidate for re-measurement now that the XLA path's
+# big-mask rank_select is the 640x480 north-star config's largest glue).
+_FRONTEND_MIN_W = 1024
 
 
 class DetectOutput(NamedTuple):
@@ -188,7 +193,7 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
                 # (VMEM budget), so any octave wide enough to amortize the
                 # kernel launch takes the Pallas path.
                 if (backhalf == "pallas" and not batched
-                        and 1024 <= ow and oh >= 32):
+                        and _FRONTEND_MIN_W <= ow and oh >= 32):
                     cand, code = pallas_frontend.frontend_tpu(
                         dogs[o], dog_threshold=cfg.dog_threshold,
                         capacity=cap_o)

@@ -60,10 +60,13 @@ from .types import Features
 _GLOBAL_REFINE_MAX_CELLS = 16_000_000
 _PER_OCTAVE_REFINE_MIN_W = 1024
 # Octaves at least this wide take the Pallas dense-frontend kernel; below
-# it the XLA dense_frontend wins (kernel launch amortization, measured
-# round 2 at 1024 — candidate for re-measurement now that the XLA path's
-# big-mask rank_select is the 640x480 north-star config's largest glue).
-_FRONTEND_MIN_W = 1024
+# it the XLA dense_frontend wins (kernel launch amortization). Round 2 set
+# 1024; a TPU-lowering op inventory showed every dense_frontend octave
+# with >262k DoG cells pays a jnp.searchsorted WHILE loop (~1-4 ms each —
+# two per frame at 1536x1024, one 915k-cell one in the 640x480 north-star
+# config), while the kernel's count-based 3-level select never does. 256
+# keeps every dense_frontend mask under the scatter rank-select limit.
+_FRONTEND_MIN_W = 256
 
 
 class DetectOutput(NamedTuple):

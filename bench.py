@@ -157,10 +157,23 @@ def main():
                      sift_buffer_count=2,
                      input_image_max_size=W * H)
 
-    state = {}
+    state = {"fails": 0}
 
     def build():
-        state["detect"] = jax.jit(make_detect_fn(cfg, W, H))
+        # Safe mode: if the Pallas path fails to compile/run twice (e.g. a
+        # Mosaic lowering regression on a backend newer than the last
+        # hardware run), fall back to the pure-XLA back-half — slower but
+        # records a real number instead of nothing.
+        backhalf = "auto" if state["fails"] < 2 else "xla"
+        if backhalf == "xla":
+            print("# bench: falling back to backhalf='xla'",
+                  file=sys.stderr)
+        state["detect"] = jax.jit(
+            make_detect_fn(cfg, W, H, backhalf=backhalf))
+
+    def build_count():
+        state["fails"] += 1
+        build()
 
     build()
     imgs = [jnp.asarray(_bench_image(H, W, seed=s)) for s in range(2)]
@@ -196,7 +209,7 @@ def main():
 
     # First compile + sync — the round-1 crash site; retried with rebuild.
     n = _retry(lambda: int(state["detect"](imgs[0]).features.count),
-               "first compile+sync", on_reset=build)
+               "first compile+sync", on_reset=build_count)
 
     lat_ms = float("nan")
     try:
@@ -210,7 +223,7 @@ def main():
             return (time.perf_counter() - t0) / lat_iters * 1e3
 
         lat_ms = _retry(measure_latency, "latency measurement",
-                        on_reset=build)
+                        on_reset=build_count)
     except Exception:  # noqa: BLE001
         traceback.print_exc(limit=2, file=sys.stderr)
 
@@ -229,7 +242,7 @@ def main():
 
     try:
         dt = _retry(measure_pipelined, "pipelined measurement",
-                    on_reset=build)
+                    on_reset=build_count)
         _emit(1.0 / dt, dt * 1e3, lat_ms, n)
     except Exception:  # noqa: BLE001
         traceback.print_exc(limit=2, file=sys.stderr)

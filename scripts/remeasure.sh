@@ -1,0 +1,45 @@
+#!/bin/bash
+# One-shot re-measurement chain, run serially the moment the TPU tunnel
+# recovers. Every step logs to results/remeasure/<step>.log. No external
+# timeouts on TPU work (killing a process mid-RPC wedges the tunnel);
+# bench.py carries its own in-process watchdog.
+#
+# Usage: bash scripts/remeasure.sh [outdir]
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-results/remeasure}
+mkdir -p "$OUT"
+
+step() {
+  local name=$1; shift
+  echo "== $name start $(date +%H:%M:%S)" | tee -a "$OUT/chain.log"
+  "$@" > "$OUT/$name.log" 2>&1
+  echo "== $name exit=$? $(date +%H:%M:%S)" | tee -a "$OUT/chain.log"
+}
+
+# 0. backend identity — resolves the default_backend() name question
+step backend python -c "
+import jax, time
+t0 = time.time()
+print('default_backend:', jax.default_backend())
+print('devices:', jax.devices())
+import jax.numpy as jnp
+print('sum:', int(jnp.sum(jnp.arange(8.0))), f'{time.time()-t0:.1f}s')
+"
+
+# 1. headline bench (1536x1024 + 640x480 north star), records the JSON lines
+step bench python bench.py
+
+# 2. per-stage attribution at the headline resolution
+step stagebench_1536 python scripts/stagebench.py 1536x1024 10
+
+# 3. trace: name the sub-0.3ms fusion tail (VERDICT round-3 ask 1a)
+step tracebench_1536 python scripts/tracebench.py 1536x1024 8 60
+
+# 4. isolated kernels
+step kernelbench python scripts/kernelbench.py
+
+# 5. Hannover big-image resolution
+step stagebench_3456 python scripts/stagebench.py 3456x2304 4
+
+echo "== chain done $(date +%H:%M:%S)" | tee -a "$OUT/chain.log"

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PyramidPrecision, SiftConfig
+from ..utils.backend import is_tpu_backend
 from . import gaussian
 
 
@@ -107,7 +108,7 @@ def upsample2x_linear(img: jax.Array) -> jax.Array:
     def up1d(x: jax.Array, axis: int) -> jax.Array:
         n = x.shape[axis]
         even, odd = up1d_parts(x, axis)
-        if (axis == x.ndim - 1 and jax.default_backend() == "tpu"
+        if (axis == x.ndim - 1 and is_tpu_backend()
                 and n >= 256):
             eo = jnp.concatenate([even, odd], axis=-1)         # (.., 2n)
             sel = jnp.zeros((2 * n, 2 * n), jnp.float32)
@@ -143,7 +144,7 @@ def downsample2x_nearest(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """
     rows = img[..., 1::2, :][..., :out_h, :]
     w = img.shape[-1]
-    if jax.default_backend() == "tpu" and w >= 256:
+    if is_tpu_backend() and w >= 256:
         sel = jnp.zeros((w, out_w), img.dtype).at[
             jnp.arange(1, 2 * out_w, 2), jnp.arange(out_w)].set(1)
         return jax.lax.dot_general(

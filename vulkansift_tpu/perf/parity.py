@@ -89,8 +89,30 @@ def _cubic_noise(h, w, seed):
                          cv2.NORM_MINMAX).astype(np.uint8)
 
 
-TEXTURES = (("noise", _multiscale_noise), ("blobs", _blobs),
-            ("checker", _checker), ("cubic", _cubic_noise))
+def _photo(h, w, seed):
+    """Real photograph — matplotlib's bundled ``grace_hopper.jpg``, the
+    only real image data shipped in this offline environment. Synthetic
+    textures lack the edge/flat-region statistics of photographs (the
+    reference's oracle is real Oxford data, perf_matching.cpp:30-79), so
+    this family hardens the protocol with genuine photo content; the seed
+    varies the crop so the family contributes distinct frames."""
+    import cv2
+    import matplotlib
+    path = os.path.join(os.path.dirname(matplotlib.__file__),
+                        "mpl-data", "sample_data", "grace_hopper.jpg")
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    rng = np.random.default_rng(seed)
+    ph, pw = img.shape
+    ch, cw = int(ph * 0.8), int(pw * 0.8)
+    y0 = int(rng.integers(0, ph - ch + 1))
+    x0 = int(rng.integers(0, pw - cw + 1))
+    crop = img[y0:y0 + ch, x0:x0 + cw]
+    return cv2.resize(crop, (w, h), interpolation=cv2.INTER_AREA)
+
+
+TEXTURES = (("photo", _photo), ("noise", _multiscale_noise),
+            ("blobs", _blobs), ("checker", _checker),
+            ("cubic", _cubic_noise))
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,7 @@ from .ops.descriptor import compute_descriptors
 from .ops.orientation import compute_orientations
 from .ops.patches import PatchSet, gather_patches
 from .types import Features
+from .utils.backend import is_tpu_backend
 
 
 # Refine-path selection (pallas back-half): pyramids up to this many DoG
@@ -177,7 +178,7 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
     capacity = cfg.max_nb_sift_per_buffer
 
     if backhalf == "auto":
-        backhalf = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backhalf = "pallas" if is_tpu_backend() else "xla"
 
     def detect(image_u8: jax.Array, valid_w=None, valid_h=None):
         # jax.named_scope = the reference's per-stage debug-marker regions

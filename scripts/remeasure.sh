@@ -42,4 +42,8 @@ step kernelbench python scripts/kernelbench.py
 # 5. Hannover big-image resolution
 step stagebench_3456 python scripts/stagebench.py 3456x2304 4
 
+# 6. re-record the quality artifacts on hardware (includes the new
+#    real-photograph family)
+step parity python -m vulkansift_tpu.perf.parity --out-dir results
+
 echo "== chain done $(date +%H:%M:%S)" | tee -a "$OUT/chain.log"

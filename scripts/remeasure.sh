@@ -27,17 +27,20 @@ import jax.numpy as jnp
 print('sum:', int(jnp.sum(jnp.arange(8.0))), f'{time.time()-t0:.1f}s')
 "
 
-# 1. headline bench (1536x1024 + 640x480 north star), records the JSON lines
-step bench python bench.py
+# 1. isolated kernels FIRST: every round-3 kernel change (packed pairs,
+#    in-kernel rolls, no-copy atlas) was written while the chip was down
+#    and has never been compiled by Mosaic on hardware — validate the
+#    lowering in isolation before it can hide inside a bench fallback.
+step kernelbench python scripts/kernelbench.py
 
 # 2. per-stage attribution at the headline resolution
 step stagebench_1536 python scripts/stagebench.py 1536x1024 10
 
-# 3. trace: name the sub-0.3ms fusion tail (VERDICT round-3 ask 1a)
-step tracebench_1536 python scripts/tracebench.py 1536x1024 8 60
+# 3. headline bench (1536x1024 + 640x480 north star), records the JSON lines
+step bench python bench.py
 
-# 4. isolated kernels
-step kernelbench python scripts/kernelbench.py
+# 4. trace: name the sub-0.3ms fusion tail (VERDICT round-3 ask 1a)
+step tracebench_1536 python scripts/tracebench.py 1536x1024 8 60
 
 # 5. Hannover big-image resolution
 step stagebench_3456 python scripts/stagebench.py 3456x2304 4

@@ -21,6 +21,13 @@ def test_is_tpu_backend_accepts_plugin_names(monkeypatch):
     assert backend_mod.is_tpu_backend() is False
 
 
+def test_is_tpu_backend_env_override(monkeypatch):
+    # Deviceless AOT compiles (scripts/aotcheck.py) force the TPU
+    # formulations from a CPU host via VKSIFT_ASSUME_TPU=1.
+    monkeypatch.setenv("VKSIFT_ASSUME_TPU", "1")
+    assert backend_mod.is_tpu_backend() is True
+
+
 def test_photo_texture_real_image():
     from vulkansift_tpu.perf.parity import _photo
 

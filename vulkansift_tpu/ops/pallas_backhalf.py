@@ -440,8 +440,12 @@ def _make_hist_kernel_packed(geom: _KernelGeom, capp: int, edge: int):
         py = ybase + ii.astype(jnp.float32)
         px = xbase + jj.astype(jnp.float32)
         mask0 = ((ii >= 1) & (ii <= wr - 2)
-                 & jnp.where(in_a, (jj >= 1) & (jj <= 62),
-                             (jj >= 65) & (jj <= 126))
+                 # Disjoint lane-half interiors: a plain OR, NOT a
+                 # jnp.where over boolean vectors — Mosaic materializes
+                 # bool select operands as i8 and cannot truncate
+                 # vector<i8> back to i1 (compile failure on v5e).
+                 & (((jj >= 1) & (jj <= 62))
+                    | ((jj >= 65) & (jj <= 126)))
                  & (px >= 1) & (px <= xhi) & (py >= ylo) & (py <= yhi))
 
         slam = jnp.maximum(LAMBDA_ORIENTATION * sig, 1e-3)
@@ -741,8 +745,12 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
         px = xbase + jj.astype(jnp.float32)
 
         mask0 = ((ii >= 1) & (ii <= wr - 2)
-                 & jnp.where(in_a, (jj >= 1) & (jj <= 62),
-                             (jj >= 65) & (jj <= 126))
+                 # Disjoint lane-half interiors: a plain OR, NOT a
+                 # jnp.where over boolean vectors — Mosaic materializes
+                 # bool select operands as i8 and cannot truncate
+                 # vector<i8> back to i1 (compile failure on v5e).
+                 & (((jj >= 1) & (jj <= 62))
+                    | ((jj >= 65) & (jj <= 126)))
                  & (px >= 1) & (px <= xhi) & (py >= ylo) & (py <= yhi))
 
         # dlam floor: the odd tail's dead B half carries zero metadata;

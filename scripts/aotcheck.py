@@ -50,9 +50,44 @@ def compile_detect(w, h, topo, backhalf="pallas"):
     return compiled, t1 - t0, t2 - t1
 
 
+def compile_multichip(topo):
+    """Compile the REAL multi-chip programs (DP detect + ppermute-ring
+    2-NN) for all 4 chips of the v5e 2x2 topology — validates the
+    TPU lowering of the sharded paths incl. ICI collectives, which the
+    CPU virtual-mesh dryrun cannot."""
+    from vulkansift_tpu import SiftConfig
+    from vulkansift_tpu.parallel import make_dp_detect_fn, make_ring_match_fn
+
+    w, h = 640, 480
+    cfg = SiftConfig(use_input_upsampling=False,
+                     max_nb_sift_per_buffer=4096,
+                     sift_buffer_count=1,
+                     input_image_max_size=w * h)
+    mesh = Mesh(np.array(topo.devices).reshape(-1), ("data",))
+    n = len(topo.devices)
+
+    t0 = time.time()
+    dp = make_dp_detect_fn(cfg, w, h, mesh, backhalf="pallas")
+    dp.lower(jax.ShapeDtypeStruct((2 * n, h, w), np.uint8)).compile()
+    t1 = time.time()
+    print(f"multichip dp detect ({n} chips): OK  {t1 - t0:.1f}s")
+
+    ring = make_ring_match_fn(mesh)
+    ring.lower(
+        jax.ShapeDtypeStruct((4096, 128), np.uint8),
+        jax.ShapeDtypeStruct((), np.int32),
+        jax.ShapeDtypeStruct((4096, 128), np.uint8),
+        jax.ShapeDtypeStruct((), np.int32)).compile()
+    print(f"multichip ring match ({n} chips): OK  {time.time() - t1:.1f}s")
+
+
 def main():
-    whs = sys.argv[1:] or ["640x480", "1536x1024", "3456x2304"]
+    whs = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+        "640x480", "1536x1024", "3456x2304"]
     topo = topologies.get_topology_desc("v5e:2x2x1", "tpu")
+    if "--multichip" in sys.argv:
+        compile_multichip(topo)
+        return
     print(f"# topology: {topo.platform_version if hasattr(topo, 'platform_version') else 'v5e'}"
           f" ({len(topo.devices)} devices, compiling single-chip)")
     failures = 0

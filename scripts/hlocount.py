@@ -80,6 +80,22 @@ def main():
     assert entry, "no ENTRY computation found"
     body = entry.group(1)
 
+    # Fusions carry no metadata themselves; attribute each to the most
+    # common op_name scope among its fused computation's instructions.
+    comp_scope = {}
+    for m in re.finditer(r"\n%?([\w.\-]+) [^\n]*\{(.*?)\n\}", text, re.S):
+        cname, cbody = m.groups()
+        scopes = collections.Counter(
+            re.findall(r'op_name="([^"]*)"', cbody))
+        if scopes:
+            comp_scope[cname] = scopes.most_common(1)[0][0]
+        srcs = collections.Counter(
+            f.rsplit("/", 1)[-1] + ":" + ln for f, ln in re.findall(
+                r'source_file="([^"]*vulkansift_tpu[^"]*)".*?source_line=(\d+)',
+                cbody))
+        if srcs:
+            comp_scope[cname + "/src"] = srcs.most_common(1)[0][0]
+
     ops = []
     for line in body.splitlines():
         line = line.strip()
@@ -97,6 +113,12 @@ def main():
         sm = re.search(r'source_file="([^"]*)".*?source_line=(\d+)', line)
         if sm and "vulkansift_tpu" in sm.group(1):
             src = sm.group(1).rsplit("/", 1)[-1] + ":" + sm.group(2)
+        if not scope or not src:
+            # fusions: inherit from the fused computation
+            cm = re.search(r"(?:calls|fusion)=%?([\w.\-]+)", line)
+            if cm:
+                scope = scope or comp_scope.get(cm.group(1), "")
+                src = src or comp_scope.get(cm.group(1) + "/src")
         # rough traffic: output + output again for reads (operands usually
         # fused); use 2x output bytes as the floor traffic.
         t_est = max(2 * out_b / HBM_BW, DISPATCH_FLOOR)
@@ -108,11 +130,22 @@ def main():
           f"{total_t*1e3:.1f} ms; tiny(<0.3ms-est) ops: {len(tiny)} "
           f"({sum(o[3] for o in tiny)*1e3:.1f} ms est)")
 
+    def stage_of(scope):
+        parts = [p for p in scope.split("/") if p and "jit(" not in p]
+        return parts[0] if parts else "?"
+
+    by_stage = collections.Counter()
+    t_by_stage = collections.defaultdict(float)
     by_line = collections.Counter()
     t_by_line = collections.defaultdict(float)
     for name, opkind, out_b, t_est, scope, src in ops:
-        by_line[src] += 1
-        t_by_line[src] += t_est
+        by_stage[stage_of(scope)] += 1
+        t_by_stage[stage_of(scope)] += t_est
+        by_line[src or "?"] += 1
+        t_by_line[src or "?"] += t_est
+    print("\n## per stage (ops, est floor)")
+    for st, t in sorted(t_by_stage.items(), key=lambda kv: -kv[1]):
+        print(f"{t*1e3:8.2f} ms {by_stage[st]:5d} ops  {st}")
     print(f"\n## top {top} source lines by estimated floor time")
     for src, t in sorted(t_by_line.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{t*1e3:8.2f} ms {by_line[src]:5d} ops  {src}")

@@ -85,6 +85,20 @@ def main():
                      input_image_max_size=w * h)
     detect = jax.jit(make_detect_fn(cfg, w, h))
     img = jnp.asarray(bench_image(h, w))
+
+    # Attribution map from the executable's own HLO: trace event names ==
+    # HLO instruction names, and fusions that carry no metadata inherit
+    # their fused computation's scope (scripts/hloattr.py) — this is what
+    # names the "unattributed sub-0.3ms fusion tail".
+    hlo_attr = {}
+    try:
+        import hloattr
+        hlo_attr = hloattr.build_attr(
+            detect.lower(img).compile().as_text())
+        print(f"# hlo attribution: {len(hlo_attr)} instructions")
+    except Exception as e:  # noqa: BLE001
+        print(f"# hlo attribution unavailable: {type(e).__name__}: {e}")
+
     n = int(detect(img).features.count)
     print(f"# {w}x{h}, {n} features; tracing {iters} frames")
     for _ in range(3):
@@ -108,16 +122,20 @@ def main():
         # tf_op / long_name metadata carries the named_scope path.
         meta = (args.get("tf_op") or args.get("long_name")
                 or args.get("hlo_op") or "")
+        # The HLO-derived map resolves fusions with no metadata.
+        hname = name.lstrip("%")
+        hscope, hsrc = hlo_attr.get(hname, ("", "?"))
         scope = "?"
         for s in ("ScaleSpace", "ExtractKeypoints", "AtlasBuild",
                   "ComputeOrientation", "ComputeDescriptors",
                   "PackFeatures", "Matching"):
-            if s in str(meta) or s in str(args):
+            if (s in str(meta) or s in str(args) or s in hscope):
                 scope = s
                 break
         by_scope[scope] += dur
         if name not in samples:
-            samples[name] = (scope, str(meta)[:110])
+            samples[name] = (scope, (str(meta) or hscope)[:80]
+                             + (f" @{hsrc}" if hsrc != "?" else ""))
 
     total = sum(by_op.values())
     print(f"\ntotal device time: {total / iters / 1e3:.2f} ms/frame "

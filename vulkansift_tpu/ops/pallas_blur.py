@@ -1,0 +1,247 @@
+"""Fused separable gaussian blur (+ DoG) Pallas kernel — the scale-space
+hot loop (SURVEY.md §7 step 6; reference: shaders/GaussianBlur.comp +
+DifferenceOfGaussian.comp and the per-octave command recording in
+sift_detector.c:955-1037).
+
+Why a kernel: the XLA formulation (ops/scale_space._conv1d_symmetric)
+costs, per scale, two symmetric pads (2 reverses + concat each), two
+shifted-slice MAC fusions, plus the DoG subtract — ~8 full-image HBM
+round-trips and ~10 dispatched ops per scale x direction, i.e. ~380
+executed ops in the compiled detect and most of the ScaleSpace time is
+traffic/dispatch, not math (scripts/hlocount.py census). This kernel
+computes H-then-V blur AND the DoG layer in ONE pass over the image: per
+output tile it DMAs a halo block, runs both tap loops in VMEM with
+cyclic rolls, fixes the mirror borders on narrow strips, and writes
+blurred + DoG rows — ~2 executed ops per scale, ~2x less HBM traffic,
+same FLOPs.
+
+Semantics match ``blur_separable`` exactly: symmetric (MIRRORED_REPEAT)
+boundaries — ``x[-1-m] == x[m]`` and ``x[H+m] == x[H-1-m]`` — with the
+same H-then-V float accumulation order (tap 0, then +-1, ..., +-k).
+
+Tiling: rows in blocks of ``_R`` with an 8-aligned ``_K8`` halo; columns
+single-tile up to ``_MAX_SINGLE_W`` lanes (the VMEM stack budget for the
+unrolled tap chain at k=13 runs out between 1536 and 2048 lanes), else
+128-halo column tiles of ``_WT`` interior lanes. Clamp-shifted edge
+tiles make any H % 8 == 0, W % 128 == 0 size work (overlapping rows or
+columns recompute bit-identical values).
+
+Eligibility (callers fall back to the XLA path otherwise):
+* float32 pyramid (fp16 storage mode keeps the XLA path),
+* H % 8 == 0, W % 128 == 0, H >= _RIN_MIN, W >= 256.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_R = 64            # output rows per grid step
+_K8 = 16           # 8-aligned row halo; max half-kernel is 13 (gaussian.py)
+_RIN_MIN = 96      # minimum rows for the kernel path (= _R + 2*_K8)
+_MAX_SINGLE_W = 1280   # single col-tile limit (VMEM stack, margin to 1536)
+_WT = 512          # interior cols per tile when column-tiled
+_CHALO = 128       # col halo (>= max half-kernel, 128-aligned)
+
+
+def eligible(h: int, w: int, dtype) -> bool:
+    return (dtype == jnp.float32 and h % 8 == 0 and w % 128 == 0
+            and h >= _RIN_MIN and w >= 256)
+
+
+def _rev128():
+    """(128,128) exchange matrix (anti-diagonal) as an in-kernel const."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    return (i + j == 127).astype(jnp.float32)
+
+
+def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
+                 R: int, WT: int, CH: int):
+    k = len(taps) - 1
+    assert 1 <= k <= _K8, k
+    RIN = R + 2 * _K8
+    WB = WT + 2 * CH          # DMA'd block width (== W when CH == 0)
+
+    def kernel(x_hbm, y_hbm, dog_hbm, xv, yv, dogv, sems):
+        t = pl.program_id(0)
+        col = pl.program_id(1)
+        row0 = jnp.minimum(t * R, H - R)
+        ystart = jnp.clip(row0 - _K8, 0, H - RIN)
+        col0 = jnp.minimum(col * WT, W - WT)
+        cstart = jnp.clip(col0 - CH, 0, W - WB)
+        cin = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(ystart, 8), RIN),
+                     pl.ds(pl.multiple_of(cstart, 128), WB)],
+            xv, sems.at[0])
+        cin.start()
+        cin.wait()
+        x = xv[...]                                   # (RIN, WB) f32
+
+        rev = _rev128()
+
+        # ---------------- H pass (lanes), mirror at 0 / W-1 -------------
+        # Interior via cyclic lane rolls (halo >= k covers tile edges);
+        # image borders recomputed on 128-lane strips with reversed-tile
+        # values and spliced where the GLOBAL lane is within k of an edge
+        # (strips carry correct values exactly when this tile touches the
+        # image edge; elsewhere the splice mask is empty).
+        acc = x * taps[0]
+        for j in range(1, k + 1):
+            acc = acc + (pltpu.roll(x, j, 1)
+                         + pltpu.roll(x, WB - j, 1)) * taps[j]
+
+        first = x[:, :128]                            # (RIN, 128)
+        last = x[:, WB - 128:]
+        revf = jax.lax.dot_general(                   # revf[:,p]=x[:,127-p]
+            first, rev, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        revl = jax.lax.dot_general(                   # revl[:,p]=x[:,WB-1-p]
+            last, rev, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (RIN, 128), 1)
+        accl = first * taps[0]
+        accr = last * taps[0]
+        for j in range(1, k + 1):
+            # left strip, lanes c in [0,128): x[c-j] with mirror c-j<0 ->
+            # x[j-c-1] = roll(revf, j)[c]; plain value = roll(first, j)[c]
+            # (cyclic garbage only at c<j, exactly where the mirror wins).
+            left_m = pltpu.roll(revf, j, 1)
+            left_p = pltpu.roll(first, j, 1)
+            xm = jnp.where(lane128 < j, left_m, left_p)
+            # x[c+j]: in-tile roll valid for c < 128-j; the strip is only
+            # consumed at c < k and k + j <= 26 < 128, so always in-tile.
+            xp = pltpu.roll(first, 128 - j, 1)
+            accl = accl + (xm + xp) * taps[j]
+            # right strip, lanes c in [WB-128, WB): x[c+j] with mirror
+            # c+j>=W -> x[2W-1-c-j] = roll(revl, 128-j)[c_local].
+            right_m = pltpu.roll(revl, 128 - j, 1)
+            right_p = pltpu.roll(last, 128 - j, 1)
+            xp2 = jnp.where(lane128 >= 128 - j, right_m, right_p)
+            xm2 = pltpu.roll(last, j, 1)
+            accr = accr + (xp2 + xm2) * taps[j]
+
+        glane = (cstart
+                 + jax.lax.broadcasted_iota(jnp.int32, (RIN, WB), 1))
+        accl_w = jnp.pad(accl, ((0, 0), (0, WB - 128)))
+        accr_w = jnp.pad(accr, ((0, 0), (WB - 128, 0)))
+        xh = jnp.where(glane < k, accl_w, acc)
+        xh = jnp.where(glane >= W - k, accr_w, xh)
+
+        # ---------------- V pass (sublanes), mirror at 0 / H-1 ----------
+        accv = xh * taps[0]
+        for j in range(1, k + 1):
+            accv = accv + (pltpu.roll(xh, j, 0)
+                           + pltpu.roll(xh, RIN - j, 0)) * taps[j]
+
+        # Image-edge rows: global row g = ystart + u needs the mirror when
+        # g-j < 0 or g+j >= H; whenever that holds for a KEPT row, the
+        # mirror source row is inside this block, and the row-reversed
+        # block revv[u] = xh[RIN-1-u] provides it via a traced roll.
+        # Interior tiles skip the whole fix (lax.cond).
+        def fix_rows():
+            i8 = jax.lax.broadcasted_iota(jnp.int32, (RIN, RIN), 0)
+            j8 = jax.lax.broadcasted_iota(jnp.int32, (RIN, RIN), 1)
+            revm = (i8 + j8 == RIN - 1).astype(jnp.float32)
+            revv = jax.lax.dot_general(               # revv[u]=xh[RIN-1-u]
+                revm, xh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (RIN, WB), 0)
+            out = xh * taps[0]
+            M = H - ystart
+            for j in range(1, k + 1):
+                lo_thr = j - ystart            # u < lo_thr -> mirror low
+                xm = pltpu.roll(xh, j, 0)
+                # low mirror (triggers only when ystart==0): value
+                # xh[j-u-1] = revv[RIN-1-(j-u-1)] = roll(revv, j)[u].
+                xm_m = pltpu.roll(revv, jnp.mod(j - ystart, RIN), 0)
+                xm = jnp.where(rows < lo_thr, xm_m, xm)
+                xp = pltpu.roll(xh, RIN - j, 0)
+                hi_thr = M - j                 # u >= hi_thr -> mirror high
+                # high mirror: xh[2M-1-u-j] = roll(revv, 2M-j)[u].
+                xp_m = pltpu.roll(revv, jnp.mod(2 * M - j, RIN), 0)
+                xp = jnp.where(rows >= hi_thr, xp_m, xp)
+                out = out + (xm + xp) * taps[j]
+            return out
+
+        needs_fix = (ystart < k) | (ystart + RIN > H - k)
+        accv = jax.lax.cond(needs_fix, fix_rows, lambda: accv)
+
+        # ---------------- outputs --------------------------------------
+        # Mosaic has no dynamic_slice on values: extract the kept region
+        # with traced rolls + static slices (offsets never wrap for the
+        # kept rows/cols).
+        c0 = row0 - ystart                           # multiple of 8
+        d0 = col0 - cstart                           # multiple of 128
+        def center(a):
+            a = pltpu.roll(a, jnp.mod(RIN - c0, RIN), 0)[:R]
+            if WB != WT:
+                a = pltpu.roll(a, jnp.mod(WB - d0, WB), 1)[:, :WT]
+            return a
+        yv[...] = center(accv)
+        cout = pltpu.make_async_copy(
+            yv, y_hbm.at[pl.ds(pl.multiple_of(row0, 8), R),
+                         pl.ds(pl.multiple_of(col0, 128), WT)],
+            sems.at[1])
+        cout.start()
+        if with_dog:
+            dogv[...] = yv[...] - center(x)
+            cdog = pltpu.make_async_copy(
+                dogv, dog_hbm.at[pl.ds(pl.multiple_of(row0, 8), R),
+                                 pl.ds(pl.multiple_of(col0, 128), WT)],
+                sems.at[2])
+            cdog.start()
+            cdog.wait()
+        cout.wait()
+
+    return kernel, RIN, WB
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "with_dog"))
+def blur_dog_tpu(x: jax.Array, taps: Tuple[float, ...],
+                 with_dog: bool = True
+                 ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Blur ``x`` (H, W) f32 with the symmetric half-kernel ``taps`` and
+    (optionally) return ``dog = blurred - x`` — one fused pass.
+
+    Exact same boundary semantics and accumulation order as
+    ``scale_space.blur_separable`` (golden-tested in
+    tests/test_pallas_blur.py).
+    """
+    H, W = x.shape
+    assert eligible(H, W, x.dtype), (H, W, x.dtype)
+    R = _R if H >= _R + 2 * _K8 else 8 * max(1, (H - 2 * _K8) // 8)
+    if W <= _MAX_SINGLE_W:
+        WT, CH = W, 0
+    else:
+        WT, CH = _WT, _CHALO
+    kernel, RIN, WB = _make_kernel(
+        H, W, tuple(float(t) for t in taps), with_dog, R, WT, CH)
+    shapes = [jax.ShapeDtypeStruct((H, W), jnp.float32)]
+    if with_dog:
+        shapes.append(jax.ShapeDtypeStruct((H, W), jnp.float32))
+
+    out = pl.pallas_call(
+        kernel if with_dog else
+        (lambda x_hbm, y_hbm, xv, yv, dogv, sems:
+         kernel(x_hbm, y_hbm, None, xv, yv, dogv, sems)),
+        grid=(pl.cdiv(H, R), pl.cdiv(W, WT)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(shapes),
+        out_shape=shapes,
+        scratch_shapes=[
+            pltpu.VMEM((RIN, WB), jnp.float32),
+            pltpu.VMEM((R, WT), jnp.float32),
+            pltpu.VMEM((R, WT), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )(x)
+    if with_dog:
+        return out[0], out[1]
+    return out[0], None

@@ -46,7 +46,8 @@ _R = 64            # output rows per grid step
 _K8 = 16           # 8-aligned row halo; max half-kernel is 13 (gaussian.py)
 _RIN_MIN = 96      # minimum rows for the kernel path (= _R + 2*_K8)
 _MAX_SINGLE_W = 1280   # single col-tile limit (VMEM stack, margin to 1536)
-_WT = 512          # interior cols per tile when column-tiled
+_WT = 1024         # interior cols per tile when column-tiled (block 1280
+                   # lanes = the validated single-tile VMEM budget)
 _CHALO = 128       # col halo (>= max half-kernel, 128-aligned)
 
 

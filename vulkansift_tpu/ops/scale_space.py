@@ -192,6 +192,9 @@ def build_pyramid(
     from . import pallas_blur
 
     def _use_kernel(h, w):
+        import os
+        if os.environ.get("VKSIFT_NO_BLUR_KERNEL") == "1":  # hardware A/B
+            return False
         return is_tpu_backend() and pallas_blur.eligible(h, w, dtype)
 
     def _blur(x, taps_np, with_dog):

@@ -166,8 +166,11 @@ def main():
         # records a real number instead of nothing.
         backhalf = "auto" if state["fails"] < 2 else "xla"
         if backhalf == "xla":
-            print("# bench: falling back to backhalf='xla'",
-                  file=sys.stderr)
+            # The fused blur kernel is selected inside the pipeline
+            # regardless of backhalf; disable it too in safe mode.
+            os.environ["VKSIFT_NO_BLUR_KERNEL"] = "1"
+            print("# bench: falling back to backhalf='xla' (+ no blur "
+                  "kernel)", file=sys.stderr)
         state["detect"] = jax.jit(
             make_detect_fn(cfg, W, H, backhalf=backhalf))
 

@@ -203,10 +203,14 @@ def _dma_machinery(count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp,
     """Returns (start_dma, wait_current) closures for the standard
     multi-buffered window-DMA pattern.
 
-    ``clamp_to_count``: always start the DMA, clamping the address index to
-    the last live entry — for kernels that consume a fixed number of
-    entries per grid step and must be able to WAIT on a slot whose entry
-    index is past the live count (the packed 2-pair kernel's odd tail)."""
+    ``clamp_to_count``: start the DMA for every entry the grid will WAIT
+    on (2 per step), clamping the address index to the last live entry —
+    for kernels that consume a fixed number of entries per grid step and
+    must be able to wait on a slot whose entry index is past the live
+    count (the packed 2-pair kernel's odd tail). Starts are still guarded
+    to the grid's total entry coverage: an entry the grid never waits on
+    must never start, or the kernel exits with the DMA in flight — a
+    runtime abort on hardware (caught on v5e, round 3)."""
     wr, wc = geom.wr, geom.wc
 
     def _start(idx, i):
@@ -223,8 +227,10 @@ def _dma_machinery(count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp,
 
     def start_dma(i):
         if clamp_to_count:
-            _start(jnp.clip(jnp.minimum(i, count_ref[0] - 1), 0, capp - 1),
-                   i)
+            @pl.when(i < 2 * pl.num_programs(0))
+            def _():
+                _start(jnp.clip(jnp.minimum(i, count_ref[0] - 1), 0,
+                                capp - 1), i)
         else:
             @pl.when(i < count_ref[0])
             def _():

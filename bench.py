@@ -166,11 +166,11 @@ def main():
         # records a real number instead of nothing.
         backhalf = "auto" if state["fails"] < 2 else "xla"
         if backhalf == "xla":
-            # The fused blur kernel is selected inside the pipeline
-            # regardless of backhalf; disable it too in safe mode.
-            os.environ["VKSIFT_NO_BLUR_KERNEL"] = "1"
-            print("# bench: falling back to backhalf='xla' (+ no blur "
-                  "kernel)", file=sys.stderr)
+            # Opt-in Pallas extras must not survive into safe mode.
+            os.environ.pop("VKSIFT_BLUR_KERNEL", None)
+            os.environ.pop("VKSIFT_PACKED_HIST", None)
+            print("# bench: falling back to backhalf='xla'",
+                  file=sys.stderr)
         state["detect"] = jax.jit(
             make_detect_fn(cfg, W, H, backhalf=backhalf))
 

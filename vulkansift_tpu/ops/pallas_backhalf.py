@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
@@ -227,7 +228,12 @@ def _dma_machinery(count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp,
 
     def start_dma(i):
         if clamp_to_count:
-            @pl.when(i < 2 * pl.num_programs(0))
+            # Grid is ceil(count/2) steps consuming 2 entries each, so the
+            # coverage limit is count rounded up to even. (Computed from
+            # count_ref, not pl.num_programs — the latter has no CPU
+            # interpret-mode lowering.)
+            cnt = count_ref[0]
+            @pl.when(i < cnt + jax.lax.rem(cnt, 2))
             def _():
                 _start(jnp.clip(jnp.minimum(i, count_ref[0] - 1), 0,
                                 capp - 1), i)
@@ -815,10 +821,19 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
 def descriptor_tpu_packed(gauss4: jax.Array, count: jax.Array,
                           addr: jax.Array, meta: jax.Array, *,
                           geom: _KernelGeom, edge: int,
-                          use_vlfeat: bool) -> jax.Array:
+                          use_vlfeat: bool,
+                          deinterleave: bool = True) -> jax.Array:
     """Raw descriptors (capp, 16, 8) via the 2-pair packed kernel.
     Same contract as :func:`descriptor_tpu`; ``addr`` must carry the
-    delta field (pack_addr(..., delta=...))."""
+    delta field (pack_addr(..., delta=...)).
+
+    ``deinterleave=False`` returns the kernel's native
+    ``(ceil(capp/2), 16, 16)`` layout (step i lanes [0:8] = pair 2i,
+    [8:16] = pair 2i+1) and skips the stack+reshape: at full buffer
+    capacity those two dense relayouts cost ~2.5 ms each on v5e
+    (hardware trace, remeasure_r3s2) — callers that consume rows by
+    index (run_atlas's bucket merge) split the lane half themselves at
+    the live bucket size instead."""
     capp = addr.shape[0]
     if capp % 16:
         pad = 16 - capp % 16
@@ -849,6 +864,8 @@ def descriptor_tpu_packed(gauss4: jax.Array, count: jax.Array,
             (capp_p // 2, NB_HIST * NB_HIST, 2 * NB_ORI), jnp.float32),
         grid_spec=grid_spec,
     )(count.reshape(1), addr, meta, gauss4)
+    if not deinterleave:
+        return out
     # De-interleave the lane halves: step i columns [0:8] = pair 2i,
     # [8:16] = pair 2i+1.
     out = jnp.stack([out[:, :, :NB_ORI], out[:, :, NB_ORI:]], axis=1)
@@ -1016,7 +1033,16 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
                                h8=h_atlas, w32=w_atlas)
         kidx, kcnt = rank_select_fn(valid, total_cap)
         rec_k = REC[kidx]                                # one row gather
-        ori_packed = ori_edge <= _PACK_MAX_EDGE
+        # OPT-IN only: the hardware A/B (results/remeasure_r3s2, v5e)
+        # measured the packed histogram kernel at 3.73 ms in-program vs
+        # 0.69 ms for the unpacked kernel in isolation at the same
+        # keypoint count — the lane-half roll/select machinery costs more
+        # than the halved grid saves on real silicon (the packed variant
+        # was also the op under both transient TPU INTERNAL errors in
+        # that chain). The packed DESCRIPTOR kernels measure faster and
+        # stay on by default.
+        ori_packed = (ori_edge <= _PACK_MAX_EDGE
+                      and os.environ.get("VKSIFT_PACKED_HIST") == "1")
         ori_addr = addr_from_rec(rec_k, (ori_edge - 1) // 2,
                                  ori_geom.wr, 256)
         if ori_packed:
@@ -1125,18 +1151,26 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     pair_live = jnp.arange(capacity) < count
 
     with jax.named_scope("ComputeDescriptors"):
-        raws = []
+        raws = []      # kernel-native layouts; per-bucket packed flag
+        packed_b = []
         for b in range(nbk):
             geom = _KernelGeom(wr=wrs[b], wc=256, h8=h_atlas, w32=w_atlas)
             if edges[b] <= _PACK_MAX_EDGE:
+                # Kernel-native (ceil(cap/2), 16, 16) layout: the
+                # de-interleave is done per-row in the merge below at the
+                # LIVE bucket size — at capacity the stack+reshape relayouts
+                # cost ~5 ms/frame on v5e (hardware trace, remeasure_r3s2).
                 raw = descriptor_tpu_packed(
                     atlas, scnts[b], addrs[b], metas[b].reshape(-1, 1, 16),
-                    geom=geom, edge=edges[b], use_vlfeat=use_vlfeat)
+                    geom=geom, edge=edges[b], use_vlfeat=use_vlfeat,
+                    deinterleave=False)
+                packed_b.append(True)
             else:
                 raw = descriptor_tpu(
                     atlas, scnts[b], addrs[b], metas[b].reshape(-1, 1, 16),
                     geom=geom, use_vlfeat=use_vlfeat)
-            raws.append(raw.reshape(capacity, d128))
+                packed_b.append(False)
+            raws.append(raw)
 
         # Merge the bucket outputs back into pair-slot order with row
         # gathers + selects (a row scatter here costs ~20x more on TPU),
@@ -1149,9 +1183,19 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
             def run():
                 d = jnp.zeros((p, d128), jnp.float32)
                 for b in range(nbk):
-                    rb = jnp.clip(branks[b][:p], 0, capacity - 1)
-                    d = jnp.where((pair_bucket[:p] == b)[:, None],
-                                  raws[b][rb], d)
+                    rb = jnp.clip(branks[b][:p], 0, p - 1)
+                    if packed_b[b]:
+                        # Bucket ranks rb < live count <= p, so pair
+                        # 2i/2i+1 rows live in the first p//2 kernel
+                        # steps; gather those, then pick the lane half.
+                        rows = raws[b][:(p + 1) // 2][rb // 2]  # (p,16,16)
+                        half = jnp.where((rb % 2 == 1)[:, None, None],
+                                         rows[:, :, NB_ORI:],
+                                         rows[:, :, :NB_ORI])
+                        db = half.reshape(p, d128)
+                    else:
+                        db = raws[b][:p][rb].reshape(p, d128)
+                    d = jnp.where((pair_bucket[:p] == b)[:, None], db, d)
                 d = jnp.where(pair_live[:p, None], d, 0.0)
                 return jnp.pad(normalize_descriptor(d),
                                ((0, capacity - p), (0, 0)))

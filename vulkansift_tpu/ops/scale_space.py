@@ -193,7 +193,14 @@ def build_pyramid(
 
     def _use_kernel(h, w):
         import os
-        if os.environ.get("VKSIFT_NO_BLUR_KERNEL") == "1":  # hardware A/B
+        # OPT-IN only: the hardware A/B (results/remeasure_r3s2,
+        # 2026-08-18, v5e) measured the fused kernel at ~4.5 ms/frame of
+        # pyramid time vs ~1.9 ms for the XLA pad/slice chain at
+        # 1536x1024 (full detect 34.1 vs 31.3 ms) — XLA's fusion of the
+        # separable blur beats the hand kernel on real silicon even
+        # though the kernel executes fewer ops. Kept behind the flag for
+        # re-evaluation on other TPU generations.
+        if os.environ.get("VKSIFT_BLUR_KERNEL") != "1":
             return False
         return is_tpu_backend() and pallas_blur.eligible(h, w, dtype)
 

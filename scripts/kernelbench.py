@@ -56,10 +56,15 @@ def main():
     print("atlas ready", flush=True)
 
     # Synthetic keypoints: uniform over the big band, sigma distribution
-    # concentrated at low scales like real detections.
+    # concentrated at low scales like real detections. "sorted" arg mimics
+    # the real pipeline's address stream (keypoints ordered by octave band
+    # then scan order) to separate DMA-locality effects from kernel cost.
     cap = ((n_kp + 7) // 8) * 8
     ys = rng.integers(8, 3000, cap)
     xs = rng.integers(8, 2040, cap)
+    if len(sys.argv) > 2 and sys.argv[2] == "sorted":
+        order = np.lexsort((xs, ys))
+        ys, xs = ys[order], xs[order]
     layer = rng.integers(1, L, cap)
     subs = np.abs(rng.normal(1.2, 0.8, cap)) % (s + 1)
     sig = cfg.seed_scale_sigma * 2.0 ** (subs / s)
@@ -98,7 +103,7 @@ def main():
     f1 = jax.jit(functools.partial(pb.orientation_hist_tpu, geom=ori_geom))
     ms = timed(f1, (g4, count, addr1, meta1))
     print(f"K1 hist   : {ms:7.2f} ms total, {ms / n_kp * 1e3:6.2f} us/kp "
-          f"(wr={ori_geom.wr}, wc=128)", flush=True)
+          f"(wr={ori_geom.wr}, wc={ori_geom.wc})", flush=True)
 
     if ori_edge <= pb._PACK_MAX_EDGE:
         addr1p = mk_addr((ori_edge - 1) // 2, ori_geom.wr, 256)

@@ -62,10 +62,12 @@ def main():
         fimg = image.astype(jnp.float32) / 255.0
         return scale_space.build_pyramid(fimg, cfg, oct_shapes)
 
+    from vulkansift_tpu.pipeline import _FRONTEND_MIN_W
+
     def frontend(dogs):
         cands, codes = [], []
         for o, (ow, oh) in enumerate(oct_res):
-            if 1024 <= ow <= 4096 and oh >= 32:
+            if _FRONTEND_MIN_W <= ow and oh >= 32:
                 cand, code = pallas_frontend.frontend_tpu(
                     dogs[o], dog_threshold=cfg.dog_threshold,
                     capacity=caps[o])
@@ -77,8 +79,9 @@ def main():
         return cands, codes
 
     def refine(dogs, cands, codes):
+        from vulkansift_tpu.pipeline import _GLOBAL_REFINE_MAX_CELLS
         total_cells = sum(hh * ww for (hh, ww) in oct_shapes) * (s + 2)
-        if total_cells <= 16_000_000:
+        if total_cells <= _GLOBAL_REFINE_MAX_CELLS:
             g = extract.refine_candidates_global(
                 dogs, cands, codes, nb_scales=s, oct_res=oct_res,
                 dog_threshold=cfg.dog_threshold,

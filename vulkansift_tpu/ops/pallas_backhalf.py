@@ -1194,7 +1194,11 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
                                          rows[:, :, :NB_ORI])
                         db = half.reshape(p, d128)
                     else:
-                        db = raws[b][:p][rb].reshape(p, d128)
+                        # Reshape at p BEFORE the row gather: gathering
+                        # the (capacity, 16, 8) layout directly makes XLA
+                        # relayout the whole kernel output at capacity
+                        # (0.59 ms at 32k, hardware trace).
+                        db = raws[b][:p].reshape(p, d128)[rb]
                     d = jnp.where((pair_bucket[:p] == b)[:, None], db, d)
                 d = jnp.where(pair_live[:p, None], d, 0.0)
                 return jnp.pad(normalize_descriptor(d),

@@ -58,7 +58,9 @@ from .utils.backend import is_tpu_backend
 # _PER_OCTAVE_REFINE_MIN_W wide walk per-octave (live-count bucketed) and
 # the small-octave tail shares one global walk. Module-level so tests can
 # exercise the hybrid split on small images.
-_GLOBAL_REFINE_MAX_CELLS = 16_000_000
+import os as _os
+_GLOBAL_REFINE_MAX_CELLS = int(_os.environ.get(
+    "VKSIFT_GLOBAL_REFINE_MAX_CELLS", 16_000_000))
 _PER_OCTAVE_REFINE_MIN_W = 1024
 # Octaves at least this wide take the Pallas dense-frontend kernel; below
 # it the XLA dense_frontend wins (kernel launch amortization). Round 2 set

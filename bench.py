@@ -89,7 +89,7 @@ def _bench_image(h, w, seed=0):
     return (255 * img / img.max()).astype(np.uint8)
 
 
-def _emit(fps, dt_ms, lat_ms, n, note=""):
+def _emit(fps, dt_ms, lat_ms, n, note="", defer=False):
     baseline_fps = 1e3 / BASELINE_MS
     unit = (f"frames/s pipelined ({dt_ms:.2f} ms/frame; "
             f"single-image latency {lat_ms:.1f} ms incl. ~26 ms tunnel "
@@ -103,6 +103,40 @@ def _emit(fps, dt_ms, lat_ms, n, note=""):
         "vs_baseline": round(fps / baseline_fps, 3),
     })
     _best["json"] = line
+    if not defer:
+        print(line)
+        sys.stdout.flush()
+
+
+def _emit_big(fps, dt_ms, n):
+    """Hannover-large metric (docs/Performances.md:24-27: 73.29 ms on the
+    RTX 2060 at 3456x2304)."""
+    big_baseline_ms = 73.29
+    line = json.dumps({
+        "metric": "sift_detect_fps_3456x2304",
+        "value": round(fps, 2),
+        "unit": (f"frames/s pipelined ({dt_ms:.2f} ms/frame; {n} feats; "
+                 f"ref RTX2060 {big_baseline_ms} ms)"),
+        "vs_baseline": round(fps * big_baseline_ms / 1e3, 3),
+    })
+    print(line)
+    sys.stdout.flush()
+
+
+def _emit_match(ms, na, nb):
+    """2-NN matcher metric. The reference never published a matching
+    number (docs/Performances.md — 'not published'); vs_baseline is
+    measured against this repo's round-3 recorded 6.9 ms at 16k x 16k
+    (docs/PERFORMANCE.md) so the driver history shows the trend."""
+    r3_ms = 6.9
+    line = json.dumps({
+        "metric": "sift_match_2nn_16k_ms",
+        "value": round(ms, 3),
+        "unit": (f"ms per {na}x{nb} u8-descriptor 2-NN match (reference "
+                 f"publishes no number; vs_baseline = round-3's 6.9 ms / "
+                 f"this)"),
+        "vs_baseline": round(r3_ms / ms, 3),
+    })
     print(line)
     sys.stdout.flush()
 
@@ -246,16 +280,96 @@ def main():
     try:
         dt = _retry(measure_pipelined, "pipelined measurement",
                     on_reset=build_count)
-        _emit(1.0 / dt, dt * 1e3, lat_ms, n)
+        # Defer the headline print: secondary metric lines go first so the
+        # driver parses the headline from the LAST line.
+        _emit(1.0 / dt, dt * 1e3, lat_ms, n, defer=True)
     except Exception:  # noqa: BLE001
         traceback.print_exc(limit=2, file=sys.stderr)
         if np.isfinite(lat_ms):
             # Fall back to the sequential number rather than recording
             # nothing (latency includes one tunnel round-trip per frame).
             _emit(1e3 / lat_ms, lat_ms, lat_ms, n,
-                  note="pipelined path failed; sequential fallback")
+                  note="pipelined path failed; sequential fallback",
+                  defer=True)
         else:
             raise
+
+    # --- secondary metric: Hannover-large 3456x2304 (BENCH item since
+    # round 4; docs/Performances.md:24-27 publishes 73.29 ms) -------------
+    if os.environ.get("BENCH_SKIP_BIG") != "1":
+        try:
+            bw, bh = 3456, 2304
+            big_cfg = SiftConfig(use_input_upsampling=True,
+                                 max_nb_sift_per_buffer=32768,
+                                 sift_buffer_count=2,
+                                 input_image_max_size=bw * bh)
+            big_detect = jax.jit(make_detect_fn(big_cfg, bw, bh))
+            big_img = jnp.asarray(_bench_image(bh, bw, seed=0))
+            big_n = _retry(
+                lambda: int(big_detect(big_img).features.count),
+                "big-image compile+sync")
+            big_batch = max(4, BATCH // 4)
+
+            def measure_big():
+                for _ in range(2):
+                    outs = [big_detect(big_img) for _ in range(big_batch)]
+                    jax.device_get([o.features.count for o in outs])
+                t0 = time.perf_counter()
+                nb = max(3, BATCHES // 4)
+                for _ in range(nb):
+                    outs = [big_detect(big_img) for _ in range(big_batch)]
+                    jax.device_get([o.features.count for o in outs])
+                return (time.perf_counter() - t0) / (nb * big_batch)
+
+            big_dt = _retry(measure_big, "big-image measurement")
+            _emit_big(1.0 / big_dt, big_dt * 1e3, big_n)
+            del big_detect, big_img
+        except Exception:  # noqa: BLE001
+            traceback.print_exc(limit=2, file=sys.stderr)
+
+    # --- secondary metric: 2-NN matcher at 16k x 16k ----------------------
+    if os.environ.get("BENCH_SKIP_MATCH") != "1":
+        try:
+            from vulkansift_tpu.ops import match as match_mod
+            nm = 16384
+            key = jax.random.PRNGKey(0)
+            da = jax.random.randint(key, (nm, 128), 0, 256, jnp.int32
+                                    ).astype(jnp.uint8)
+            db = jax.random.randint(jax.random.PRNGKey(1), (nm, 128), 0,
+                                    256, jnp.int32).astype(jnp.uint8)
+            cnt = jnp.int32(nm)
+            # Fused Pallas kernel on TPU (bit-identical to match_2nn,
+            # tests/test_match.py); XLA packed-key path elsewhere.
+            from vulkansift_tpu.utils.backend import is_tpu_backend
+            mimpl = (match_mod.match_2nn_fused if is_tpu_backend()
+                     else match_mod.match_2nn)
+            mfn = jax.jit(lambda a, b: mimpl(a, cnt, b, cnt))
+            _retry(lambda: int(mfn(da, db).idx_b1[0]), "match compile")
+
+            def measure_match():
+                # Two-point method: the ~26 ms tunnel sync cancels.
+                def run(k):
+                    t0 = time.perf_counter()
+                    out = None
+                    for _ in range(k):
+                        out = mfn(da, db)
+                    int(out.idx_b1[0])
+                    return time.perf_counter() - t0
+
+                run(2)
+                t1 = run(8)
+                t2 = run(16)
+                return (t2 - t1) / 8 * 1e3
+
+            m_ms = _retry(measure_match, "match measurement")
+            _emit_match(m_ms, nm, nm)
+        except Exception:  # noqa: BLE001
+            traceback.print_exc(limit=2, file=sys.stderr)
+
+    # Headline LAST (the driver parses the last JSON line).
+    if _best["json"]:
+        print(_best["json"])
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

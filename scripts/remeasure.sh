@@ -42,8 +42,10 @@ step bench python bench.py
 # 4. trace: name the sub-0.3ms fusion tail (VERDICT round-3 ask 1a)
 step tracebench_1536 python scripts/tracebench.py 1536x1024 8 60
 
-# 4b. blur-kernel A/B: same bench with the fused blur kernel disabled
-step bench_noblur env VKSIFT_NO_BLUR_KERNEL=1 BENCH_SKIP_NORTHSTAR=1 python bench.py
+# 4b. blur-kernel A/B: same bench with the opt-in fused blur kernel ON
+#     (XLA blur is the default after the v5e A/B; this arm exercises the
+#     Pallas fused blur+DoG kernel against it)
+step bench_blur env VKSIFT_BLUR_KERNEL=1 BENCH_SKIP_NORTHSTAR=1 python bench.py
 
 # 5. Hannover big-image resolution
 step stagebench_3456 python scripts/stagebench.py 3456x2304 4

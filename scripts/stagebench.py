@@ -120,6 +120,9 @@ def main():
 
     @jax.jit
     def s4(image):
+        # NOTE: returning only ``count`` dead-code-eliminates the
+        # DESCRIPTOR kernels + merge (count depends on K1/peaks only), so
+        # the "full detect" minus s4 delta IS the descriptor stage.
         g, d = stage_pyramid(image)
         cands, codes = frontend(d)
         r = refine(d, cands, codes)

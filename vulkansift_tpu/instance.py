@@ -58,6 +58,7 @@ from .detector import SiftDetector
 from .pipeline import make_detect_fn, octave_plan
 from .errors import DeviceError, InvalidInputError, Result
 from .ops.match import match_2nn, match_2nn_auto
+from .utils.backend import is_tpu_backend
 from .types import (FEATURE_DTYPE, Features, Matches2NN, features_from_numpy,
                     features_to_numpy, matches_to_numpy)
 from .utils.logging import logger
@@ -295,17 +296,24 @@ class SiftInstance:
         (parity: vksift_matchFeatures, vulkansift.c:417-441).
 
         Fully async: no host round-trip between detect and match dispatch —
-        the live counts stay device-resident and the matcher's bucketed
-        dispatch (ops.match.match_2nn_auto) scales compute with them, the
-        analogue of the reference reading counters from mapped memory
+        the live counts stay device-resident and the matcher scales
+        compute with them (tile-step skipping in the fused Pallas kernel
+        on TPU, bucketed dispatch in ops.match.match_2nn_auto elsewhere),
+        the analogue of the reference reading counters from mapped memory
         before recording the dispatch (sift_memory.c:957-1047)."""
         buf_a = self._check_buffer(buffer_id_a)
         buf_b = self._check_buffer(buffer_id_b)
         try:
             with jax.default_device(self.device):
-                self._matches = match_2nn_auto(
-                    buf_a.features.descriptor, buf_a.features.count,
-                    buf_b.features.descriptor, buf_b.features.count)
+                if is_tpu_backend():
+                    from .ops.match import match_2nn_fused
+                    self._matches = match_2nn_fused(
+                        buf_a.features.descriptor, buf_a.features.count,
+                        buf_b.features.descriptor, buf_b.features.count)
+                else:
+                    self._matches = match_2nn_auto(
+                        buf_a.features.descriptor, buf_a.features.count,
+                        buf_b.features.descriptor, buf_b.features.count)
         except Exception as e:  # noqa: BLE001
             self._dispatch_error(Result.DEVICE_ERROR)
             raise DeviceError("matching pipeline failure") from e

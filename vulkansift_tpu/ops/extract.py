@@ -46,6 +46,11 @@ class Candidates(NamedTuple):
     y: jax.Array  # i32[K]
     x: jax.Array  # i32[K]
     count: jax.Array  # i32[]
+    # Walk code at the candidate's own cell (candidate bit stripped), or
+    # None. The Pallas frontend's compaction already holds the 128-lane
+    # code block each candidate lives in, so providing this is ~free and
+    # saves the refinement walk's step-0 code gather.
+    code0: Optional[jax.Array] = None  # i32[K] | None
 
 
 class RefinedKeypoints(NamedTuple):
@@ -339,9 +344,9 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
         return jax.lax.rem(c, 128)  # strip any candidate bit
 
     # --- 5-step walk over the dense code field -------------------------
-    def step(carry, step_i):
+    def step(carry, step_i, c0=None):
         rs, ry, rx, valid, done = carry
-        c = code_at(rs, ry, rx)
+        c = code_at(rs, ry, rx) if c0 is None else c0
         sing = (c // _CODE_SING) % 2 == 1
         conv = (c // _CODE_CONV) % 2 == 1
         active = valid & jnp.logical_not(done)
@@ -378,9 +383,13 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
             carry = (cand.s[:kb], cand.y[:kb], cand.x[:kb],
                      jnp.ones((kb,), jnp.bool_), jnp.zeros((kb,), jnp.bool_))
             # Unrolled (NB_REFINEMENT_STEPS is 5 and static): a lax.scan
-            # here pays TPU while-loop per-iteration overhead.
+            # here pays TPU while-loop per-iteration overhead. Step 0 uses
+            # the candidate's own code when the frontend provides it
+            # (saves one latency-bound gather per walk).
             for step_i in range(NB_REFINEMENT_STEPS):
-                carry, _ = step(carry, step_i)
+                c0 = (cand.code0[:kb] if step_i == 0
+                      and cand.code0 is not None else None)
+                carry, _ = step(carry, step_i, c0)
             rs, ry, rx, valid, _ = carry
 
             # Final Newton solve + acceptance tests at the stop cell.
@@ -501,19 +510,19 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
         co += int(np.prod(codes[o].shape))
         do += dogs[o].shape[0] * dogs[o].shape[1] * dogs[o].shape[2]
 
-    # Per-octave geometry tables.
+    # Per-octave geometry constants, materialized by segment CONCATENATION
+    # (free constants), never by ``table[oct_id]`` gathers — a (31k,) 1-D
+    # gather costs ~0.2 ms on v5e regardless of table size, and there are
+    # seven of these.
     full_width = [codes[o].shape[-1] >= oct_res[o][0] for o in range(nb_oct)]
-    t_chr = jnp.asarray([c.shape[1] for c in codes], jnp.int32)
-    t_cwr = jnp.asarray([c.shape[2] for c in codes], jnp.int32)
-    t_fw = jnp.asarray([1 if f else 0 for f in full_width], jnp.int32)
-    t_coff = jnp.asarray(code_off, jnp.int32)
-    t_doff = jnp.asarray(dog_off, jnp.int32)
-    t_w = jnp.asarray([w for w, _ in oct_res], jnp.int32)
-    t_h = jnp.asarray([h for _, h in oct_res], jnp.int32)
+
+    def seg(vals):
+        return jnp.concatenate(
+            [jnp.full((cands[o].s.shape[0],), int(vals[o]), jnp.int32)
+             for o in range(nb_oct)])
 
     # --- global candidate arrays -----------------------------------------
-    oct_id = jnp.concatenate([jnp.full((cands[o].s.shape[0],), o, jnp.int32)
-                              for o in range(nb_oct)])
+    oct_id = seg(list(range(nb_oct)))
     s0 = jnp.concatenate([c.s for c in cands])
     y0 = jnp.concatenate([c.y for c in cands])
     x0 = jnp.concatenate([c.x for c in cands])
@@ -521,13 +530,13 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
                                 for c in cands])
     k = s0.shape[0]
 
-    g_chr = t_chr[oct_id]
-    g_cwr = t_cwr[oct_id]
-    g_fw = t_fw[oct_id]
-    g_coff = t_coff[oct_id]
-    g_doff = t_doff[oct_id]
-    g_w = t_w[oct_id]
-    g_h = t_h[oct_id]
+    g_chr = seg([c.shape[1] for c in codes])
+    g_cwr = seg([c.shape[2] for c in codes])
+    g_fw = seg([1 if f else 0 for f in full_width])
+    g_coff = seg(code_off)
+    g_doff = seg(dog_off)
+    g_w = seg([w for w, _ in oct_res])
+    g_h = seg([h for _, h in oct_res])
 
     def code_at(rs, ry, rx):
         rxs = jnp.where(g_fw == 1, rx, rx - 1)
@@ -535,9 +544,9 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
         c = _gather_flat(code_flat, idx).astype(jnp.int32)
         return jax.lax.rem(c, 128)
 
-    def step(carry, step_i):
+    def step(carry, step_i, c0=None):
         rs, ry, rx, valid, done = carry
-        c = code_at(rs, ry, rx)
+        c = code_at(rs, ry, rx) if c0 is None else c0
         sing = (c // _CODE_SING) % 2 == 1
         conv = (c // _CODE_CONV) % 2 == 1
         active = valid & jnp.logical_not(done)
@@ -560,10 +569,14 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
         rs = jnp.where(may_move, rs + ms, rs)
         return (rs, ry, rx, valid, done), None
 
+    # Step 0 skips its code gather when every octave's frontend provided
+    # the candidate's own code.
+    code0_g = (jnp.concatenate([c.code0 for c in cands])
+               if all(c.code0 is not None for c in cands) else None)
     carry = (s0, y0, x0,
              jnp.ones((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_))
     for step_i in range(NB_REFINEMENT_STEPS):  # unrolled; see above
-        carry, _ = step(carry, step_i)
+        carry, _ = step(carry, step_i, code0_g if step_i == 0 else None)
     rs, ry, rx, valid, _ = carry
 
     # --- final Newton solve + acceptance tests at the stop cell ----------

@@ -39,20 +39,75 @@ from ..types import Matches2NN
 _INF = float("inf")
 
 
-def _top2_of_tile(d2: jax.Array, col_offset: jax.Array
+# Packed-key top-2: squared u8-descriptor distances are exact integers
+# <= 128*255^2 = 8,323,200 < 2^23, so with a 512-column subtile the pair
+# (distance, column) packs into ONE uint32 key
+#
+#     key = d2 << 9 | col        (max 4,261,478,911 < 2^32 - 1)
+#
+# and ``min(key)`` IS the reference's serial scan semantics — smallest
+# distance, earliest column on ties (strict ``<`` updates,
+# Get2NearestNeighbors.comp:85-95). This replaces the two variadic
+# argmin reductions + two per-row ``take_along_axis`` gathers of the
+# original formulation (each argmin is a compare+select pair on two
+# streams, and the row gathers are latency-bound) with two plain
+# min-reductions and one select — the VPU cost per tile element drops
+# ~4x and no gather remains.
+_TILE_BITS = 9
+_SUBTILE = 1 << _TILE_BITS           # 512
+_KEY_INVALID = (1 << 32) - 1         # all-ones: > any valid key
+
+
+def _top2_of_tile(d2: jax.Array, col_offset: jax.Array, col_valid: jax.Array
                   ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Per-row (best, best_idx, second, second_idx) of a (N, T) tile."""
-    i1 = jnp.argmin(d2, axis=1)
-    d1 = jnp.take_along_axis(d2, i1[:, None], axis=1)[:, 0]
-    # Dense compare instead of a row scatter: the scatter is per-element
-    # latency-bound AND forces d2 to materialize; the compare fuses into
-    # the second argmin's input.
-    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    masked = jnp.where(cols == i1[:, None].astype(jnp.int32), _INF, d2)
-    i2 = jnp.argmin(masked, axis=1)
-    d2nd = jnp.take_along_axis(masked, i2[:, None], axis=1)[:, 0]
-    return (d1, i1.astype(jnp.int32) + col_offset,
-            d2nd, i2.astype(jnp.int32) + col_offset)
+    """Per-row (best, best_idx, second, second_idx) of a (N, T) tile.
+
+    ``T`` must be a multiple of 512; ``col_valid`` is the (N-broadcastable)
+    (1, T) bool mask of live B columns. Invalid columns get the all-ones
+    key so they can never win.
+    """
+    n, t = d2.shape
+    col_valid = jnp.broadcast_to(col_valid, (1, t))
+    if t % _SUBTILE and t > _SUBTILE:
+        # Arbitrary widths (e.g. ring-match shards): pad to a subtile
+        # multiple with invalid columns (the pad fuses into the key mask).
+        padt = (-t) % _SUBTILE
+        d2 = jnp.pad(d2, ((0, 0), (0, padt)))
+        col_valid = jnp.pad(col_valid, ((0, 0), (0, padt)))
+        t += padt
+    sub = _SUBTILE if t % _SUBTILE == 0 else t  # small test tiles: 1 group
+    g = t // sub
+    d2r = d2.reshape(n, g, sub)
+    vr = col_valid.reshape(1, g, sub)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, (n, g, sub), 2)
+    key = (d2r.astype(jnp.uint32) << _TILE_BITS) | cols
+    key = jnp.where(vr, key, jnp.uint32(_KEY_INVALID))
+    k1 = jnp.min(key, axis=2)                                   # (N, g)
+    key2 = jnp.where(key == k1[:, :, None], jnp.uint32(_KEY_INVALID), key)
+    k2 = jnp.min(key2, axis=2)                                  # (N, g)
+
+    def decode(k, j):
+        invalid = k == jnp.uint32(_KEY_INVALID)
+        d = jnp.where(invalid, _INF,
+                      (k >> _TILE_BITS).astype(jnp.float32))
+        i = jnp.where(invalid, 0,
+                      (k & (_SUBTILE - 1)).astype(jnp.int32)
+                      + (col_offset + j * sub))
+        return d, i
+
+    # Tree-merge the g per-subtile sorted pairs (tiny: ops on (N,) slices).
+    parts = []
+    for j in range(g):
+        d1, i1 = decode(k1[:, j], j)
+        d2nd, i2 = decode(k2[:, j], j)
+        parts.append((d1, i1, d2nd, i2))
+    while len(parts) > 1:
+        nxt = [_merge_top2(parts[i], parts[i + 1])
+               for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
 
 
 def _lex_lt(da, ia, db, ib):
@@ -131,8 +186,7 @@ def match_2nn(desc_a: jax.Array, count_a: jax.Array, desc_b: jax.Array,
             preferred_element_type=jnp.float32)  # (NA, T)
         d2 = a_sq[:, None] + bsq_t[None, :] - 2.0 * dots
         col = offset + jnp.arange(tile)[None, :]
-        d2 = jnp.where(col < count_b, d2, _INF)
-        t = _top2_of_tile(d2, offset)
+        t = _top2_of_tile(d2, offset, col < count_b)
         return _merge_top2(carry, t), None
 
     init = (jnp.full((na,), _INF), jnp.zeros((na,), jnp.int32),
@@ -208,8 +262,7 @@ def match_2nn_auto(desc_a: jax.Array, count_a: jax.Array,
                         preferred_element_type=jnp.float32)
                     d2 = a_sq[:, None] + bsq_t[None, :] - 2.0 * dots
                     col = offset + jnp.arange(tile)[None, :]
-                    d2 = jnp.where(col < count_b, d2, _INF)
-                    t = _top2_of_tile(d2, offset)
+                    t = _top2_of_tile(d2, offset, col < count_b)
                     return step + 1, _merge_top2(carry, t)
 
                 init = (jnp.full((k,), _INF), jnp.zeros((k,), jnp.int32),
@@ -239,6 +292,31 @@ def match_2nn_auto(desc_a: jax.Array, count_a: jax.Array,
             idx_b1=i1, idx_b2=i2,
             dist_a_b1=d1, dist_a_b2=d2_,
             count=count_a.astype(jnp.int32),
+        )
+
+
+def match_2nn_fused(desc_a: jax.Array, count_a: jax.Array,
+                    desc_b: jax.Array, count_b: jax.Array) -> Matches2NN:
+    """2-NN via the fused Pallas kernel (:mod:`.pallas_match`) — TPU hot
+    path; bit-identical results to :func:`match_2nn` (tested). Rows at
+    index >= count_a carry the no-neighbor marker (+inf distances)."""
+    from . import pallas_match
+    with jax.named_scope("Matching"):
+        d1, i1, d2_, i2 = pallas_match.match_2nn_tiles(
+            desc_a, count_a, desc_b, count_b)
+        na = desc_a.shape[0]
+
+        def dec(d):
+            invalid = d >= pallas_match._D2_INVALID
+            return jnp.where(invalid, _INF,
+                             jnp.sqrt(jnp.maximum(d.astype(jnp.float32),
+                                                  0.0)))
+
+        return Matches2NN(
+            idx_a=jnp.arange(na, dtype=jnp.int32),
+            idx_b1=i1, idx_b2=i2,
+            dist_a_b1=dec(d1), dist_a_b2=dec(d2_),
+            count=jnp.asarray(count_a, jnp.int32),
         )
 
 

@@ -53,10 +53,12 @@ from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import (LAMBDA_DESCRIPTOR, LAMBDA_ORIENTATION, NB_HIST, NB_ORI,
+from ..config import (L2_NORM_THRESHOLD, LAMBDA_DESCRIPTOR,
+                      LAMBDA_ORIENTATION, NB_HIST, NB_ORI,
                       NB_ORI_HIST_BINS, ORI_PEAK_RATIO, SiftConfig)
 
 _TWO_PI = 2.0 * math.pi
@@ -85,19 +87,55 @@ def _atan01(t: jax.Array) -> jax.Array:
     return p * t
 
 
-def atan2_0_2pi(y: jax.Array, x: jax.Array) -> jax.Array:
-    """atan2(y, x) mapped to [0, 2pi); safe at (0, 0) (returns ~0)."""
+def atan2_0_2pi(y: jax.Array, x: jax.Array,
+                approx_div: bool = False) -> jax.Array:
+    """atan2(y, x) mapped to [0, 2pi); safe at (0, 0) (returns ~0).
+
+    ``approx_div=True`` replaces the octant-reduction divide with the
+    VPU's approximate reciprocal (~2^-12 relative error -> <= 2.5e-4 rad
+    angle error). The DESCRIPTOR kernels use it (error is ~3e-4 of one
+    8-bin soft-binning cell, invisible after u8 quantization); the
+    HISTOGRAM kernels keep the exact divide — the 36-bin hard binning +
+    parabolic peak interpolation amplifies per-pixel bin flips into
+    >1e-3 rad orientation shifts vs the XLA/golden path."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     mx = jnp.maximum(ax, ay)
     mn = jnp.minimum(ax, ay)
-    t = mn / jnp.maximum(mx, 1e-30)
+    if approx_div:
+        t = mn * pl.reciprocal(jnp.maximum(mx, 1e-30), approx=True)
+    else:
+        t = mn / jnp.maximum(mx, 1e-30)
     p = _atan01(t)
     r = jnp.where(ay > ax, (math.pi / 2) - p, p)
     r = jnp.where(x < 0, math.pi - r, r)
     r = jnp.where(y < 0, _TWO_PI - r, r)
     # y<0 branch can yield exactly 2pi when r was 0; fold it back.
     return jnp.where(r >= _TWO_PI, r - _TWO_PI, r)
+
+
+def _ori_rows(theta, ang, wm, use_vlfeat):
+    """The 8 orientation-bin rows of the descriptor contraction, with the
+    pixel weight ``wm`` folded in.
+
+    Exactly two adjacent circular bins receive weight per pixel
+    ((1 - fo) at floor(fb), fo at floor(fb)+1 mod 8, fo = frac(fb)), so
+    building the rows from one floor/frac + two selects per row replaces
+    the 8 circular-hat chains (abs/min/sub/max each) AND the 4 spatial-row
+    wm multiplies — ~20 fewer VPU ops per window element in the hottest
+    kernels. Same math as ComputeDescriptors.comp:167-198; UBC vs VLFeat
+    is the bin direction sign (vulkansift_types.h:132-135)."""
+    sgn = 1.0 if use_vlfeat else -1.0
+    x = (theta - ang) * (sgn * (NB_ORI / _TWO_PI))
+    fb = x - NB_ORI * jnp.floor(x * (1.0 / NB_ORI))  # wrap to [0, 8]
+    ob = jnp.floor(fb)
+    fo = fb - ob
+    ob = jnp.where(ob >= NB_ORI, 0.0, ob)            # fb == 8.0 edge
+    obp = jnp.where(ob + 1.0 >= NB_ORI, 0.0, ob + 1.0)
+    wm1 = wm * (1.0 - fo)
+    wm2 = wm * fo
+    return [jnp.where(ob == o, wm1, jnp.where(obp == o, wm2, 0.0))
+            for o in range(NB_ORI)]
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +290,7 @@ def _dma_machinery(count_ref, addr_ref, gauss_ref, wscr, sems, geom, capp,
     return start_dma, wait_current
 
 
-def _window_fields(win, step, addr_ref, meta, geom):
+def _window_fields(win, step, addr_ref, meta, geom, approx_div=False):
     """Common per-window quantities: gradients, magnitude, angle, coords,
     interior mask, and per-keypoint metadata scalars.
 
@@ -276,7 +314,7 @@ def _window_fields(win, step, addr_ref, meta, geom):
     gx = 0.5 * (pltpu.roll(win, wcc - 1, 1) - pltpu.roll(win, 1, 1))
     gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
     mag = jnp.sqrt(gx * gx + gy * gy)
-    theta = atan2_0_2pi(gy, gx)
+    theta = atan2_0_2pi(gy, gx, approx_div=approx_div)
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (wr, wcc), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (wr, wcc), 1)
@@ -301,6 +339,7 @@ def _window_fields(win, step, addr_ref, meta, geom):
 
 def _make_hist_kernel(geom: _KernelGeom, capp: int):
     nb = NB_ORI_HIST_BINS
+    assert nb == 36, "6x6 histogram factorization assumes 36 bins"
 
     def kernel(count_ref, addr_ref, meta_ref, gauss_ref, hist_ref,
                wscr, sems):
@@ -333,6 +372,12 @@ def _make_hist_kernel(geom: _KernelGeom, capp: int):
             omask, jnp.exp((sdx * sdx + sdy * sdy) * oexp) * f["mag"], 0.0)
         bins = jnp.minimum(
             jnp.floor(f["theta"] * (nb / _TWO_PI)), nb - 1).astype(jnp.int32)
+        # 36 masked reductions. Measured-and-rejected alternative
+        # (round 4, v5e): factoring the one-hot as a 6x6 outer product
+        # (12 rows + one f32-HIGHEST MXU dot) DOUBLED the kernel cost
+        # (0.43 -> 0.90 us/kp, results/hw_r4a/kernelbench.log) — the
+        # compare+select+reduce chains fuse well on the VPU, the
+        # flatten-copies + HIGHEST dot do not.
         hist = jnp.concatenate(
             [jnp.sum(jnp.where(bins == b, om, 0.0)).reshape(1, 1)
              for b in range(nb)], axis=1)
@@ -557,7 +602,7 @@ def _make_desc_kernel(geom: _KernelGeom, capp: int, use_vlfeat: bool):
         start_dma(step + _PREFETCH)
         win = wait_current(step)
         meta = meta_ref[jax.lax.rem(step, 8)]
-        f = _window_fields(win, step, addr_ref, meta, geom)
+        f = _window_fields(win, step, addr_ref, meta, geom, approx_div=True)
         ang = meta[0:1, 8:9]
 
         sig = f["sig"]
@@ -578,11 +623,6 @@ def _make_desc_kernel(geom: _KernelGeom, capp: int, use_vlfeat: bool):
         oy = kc * sdy - ks * sdx
         wm = jnp.where(
             dmask, jnp.exp(dexp * (ox * ox + oy * oy)) * f["mag"], 0.0)
-        rel = jnp.mod(f["theta"] - ang, _TWO_PI)
-        if use_vlfeat:
-            fb = rel * (NB_ORI / _TWO_PI)
-        else:
-            fb = jnp.mod(-rel, _TWO_PI) * (NB_ORI / _TWO_PI)
         ty = oy + half_cells - 0.5
         tx = ox + half_cells - 0.5
 
@@ -591,14 +631,14 @@ def _make_desc_kernel(geom: _KernelGeom, capp: int, use_vlfeat: bool):
             return x.reshape(1, n)
 
         # desc[cy, cx, o] = sum_p hy[cy]*wm * hx[cx] * wo[o] — a 3-way
-        # contraction. Grouping it as (hy*wm*hx: 16 rows) @ (wo: 8 rows)^T
+        # contraction. Grouping it as (hy*hx: 16 rows) @ (wm*wo: 8 rows)^T
         # instead of (hy*wm: 4 rows) @ (hx*wo: 32 rows)^T builds 24 flat
         # rows instead of 36 and does 16+8 window-sized multiplies instead
         # of 4+32 — ~25% less VPU work in the hottest kernel, identical
         # 128-MAC/pixel MXU cost. Output lands as (16, 8); the row-major
         # flatten (cy*4+cx)*8+o == cy*32+cx*8+o matches the (4, 32) layout
         # exactly, so the XLA-side reshape is free.
-        uy = [jnp.maximum(0.0, 1.0 - jnp.abs(ty - c)) * wm
+        uy = [jnp.maximum(0.0, 1.0 - jnp.abs(ty - c))
               for c in range(NB_HIST)]
         wx = [jnp.maximum(0.0, 1.0 - jnp.abs(tx - c))
               for c in range(NB_HIST)]
@@ -606,10 +646,8 @@ def _make_desc_kernel(geom: _KernelGeom, capp: int, use_vlfeat: bool):
             [flat(uy[cy] * wx[cx]) for cy in range(NB_HIST)
              for cx in range(NB_HIST)], axis=0)          # (16, N)
         o8 = jnp.concatenate(
-            [flat(jnp.maximum(
-                0.0, 1.0 - jnp.minimum(jnp.abs(fb - o),
-                                       NB_ORI - jnp.abs(fb - o))))
-             for o in range(NB_ORI)], axis=0)            # (8, N)
+            [flat(r) for r in _ori_rows(f["theta"], ang, wm, use_vlfeat)],
+            axis=0)                                      # (8, N)
         # Explicit bf16 operands = single MXU pass; accumulation stays f32.
         # Per-element rel err ~4e-3 averages out over the ~1e3 contributing
         # pixels — well under one u8 descriptor bin after quantization.
@@ -741,7 +779,7 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
         gx = 0.5 * (pltpu.roll(win, 127, 1) - pltpu.roll(win, 1, 1))
         gy = 0.5 * (pltpu.roll(win, wr - 1, 0) - pltpu.roll(win, 1, 0))
         mag = jnp.sqrt(gx * gx + gy * gy)
-        theta = atan2_0_2pi(gy, gx)
+        theta = atan2_0_2pi(gy, gx, approx_div=True)
 
         def sel(k):
             return jnp.where(in_a1, ma[0:1, k:k + 1], mb[0:1, k:k + 1])
@@ -784,18 +822,13 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
         oy = kc * sdy - ks * sdx
         wm = jnp.where(
             dmask, jnp.exp(dexp * (ox * ox + oy * oy)) * mag, 0.0)
-        rel = jnp.mod(theta - ang, _TWO_PI)
-        if use_vlfeat:
-            fb = rel * (NB_ORI / _TWO_PI)
-        else:
-            fb = jnp.mod(-rel, _TWO_PI) * (NB_ORI / _TWO_PI)
         ty = oy + half_cells - 0.5
         tx = ox + half_cells - 0.5
 
         def flat(x):
             return x.reshape(1, n)
 
-        uy = [jnp.maximum(0.0, 1.0 - jnp.abs(ty - c)) * wm
+        uy = [jnp.maximum(0.0, 1.0 - jnp.abs(ty - c))
               for c in range(NB_HIST)]
         wx = [jnp.maximum(0.0, 1.0 - jnp.abs(tx - c))
               for c in range(NB_HIST)]
@@ -803,10 +836,8 @@ def _make_desc_kernel_packed(geom: _KernelGeom, capp: int, edge: int,
             [flat(uy[cy_] * wx[cx_]) for cy_ in range(NB_HIST)
              for cx_ in range(NB_HIST)], axis=0)          # (16, N)
         o8 = jnp.concatenate(
-            [flat(jnp.maximum(
-                0.0, 1.0 - jnp.minimum(jnp.abs(fb - o),
-                                       NB_ORI - jnp.abs(fb - o))))
-             for o in range(NB_ORI)], axis=0)             # (8, N)
+            [flat(r) for r in _ori_rows(theta, ang, wm, use_vlfeat)],
+            axis=0)                                       # (8, N)
         m_a = flat(in_a.astype(jnp.float32))               # (1, N)
         o16 = jnp.concatenate([o8 * m_a, o8 * (1.0 - m_a)], axis=0)
         acc = jax.lax.dot_general(
@@ -1177,6 +1208,13 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         # again at the live bucket size. Each live slot is in exactly one
         # bucket at rank < that bucket's live count, so garbage kernel
         # rows are never selected.
+        #
+        # Normalization stays in XLA: an in-kernel epilogue
+        # (normalize+quantize per grid step) was measured-and-rejected on
+        # v5e (round 4: +0.3-0.45 us/pair — Mosaic scalar reductions
+        # serialize the VPU; results/hw_r4a/kernelbench.log). The barrier
+        # before normalize keeps its two reduces from re-materializing
+        # the gathered descriptor bank (~0.75 ms/frame, round-4 trace).
         from .descriptor import normalize_descriptor
 
         def merge_branch(p):
@@ -1201,6 +1239,7 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
                         db = raws[b][:p].reshape(p, d128)[rb]
                     d = jnp.where((pair_bucket[:p] == b)[:, None], db, d)
                 d = jnp.where(pair_live[:p, None], d, 0.0)
+                d = jax.lax.optimization_barrier(d)
                 return jnp.pad(normalize_descriptor(d),
                                ((0, capacity - p), (0, 0)))
             return run

@@ -40,7 +40,13 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
                        dog_threshold: float, cw: int, halo: int):
     """cw = interior columns per tile; halo = extra columns DMA'd on each
     side (0 for the single-tile case, 128 when column-tiled — wide images
-    would otherwise blow VMEM with ~30 live (BR, W) intermediates)."""
+    would otherwise blow VMEM with ~30 live (BR, W) intermediates).
+
+    The grid covers only row blocks whose 8-row DMA halo is provably in
+    bounds; the caller computes the remaining tail rows in XLA and writes
+    them into the outputs with in-place dynamic-update-slices (see
+    :func:`_tail_rows`) — the old whole-stack ``jnp.pad`` cost ~0.8 ms per
+    frame at 1536x1024."""
     s_layers = ns - 2  # center layers 1..ns-2
     wt = cw + 2 * halo  # tile width
 
@@ -148,6 +154,51 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
     return kernel
 
 
+def _tail_rows(d, ts: int, h: int, w_true: int, wp: int,
+               dog_threshold: float):
+    """Code + per-block candidate counts for interior rows y in
+    [ts+1, h-2], computed in XLA (the row-block tail the kernel grid does
+    not cover — a few dozen rows, so the dense Newton here is ~free).
+
+    ``d`` is the unpadded (S+2, H, W_true) DoG stack; outputs are
+    full-width ``wp`` like the kernel's: code u8 (S, rows_t, wp) and
+    counts i32 (rows_t, S, wp // 128), row r <-> image row y = ts+1+r
+    (the kernel's global row y-1 indexing). Semantics must match the
+    kernel exactly: same walk code (shared _newton_step path via
+    _dense_walk_code) and same strict 26-neighbor extremum test with the
+    0.8*threshold pre-filter (ExtractKeypoints.comp:57-116)."""
+    from .extract import _dense_walk_code
+    ns, _, w = d.shape
+    rows_t = h - 2 - ts
+    dsl = jax.lax.slice_in_dim(d, ts, h, axis=1)     # rows ts .. h-1
+    code_i = _dense_walk_code(dsl)                    # (S, rows_t, w-2) i8
+
+    def sl(dz, dy, dx):
+        return jax.lax.dynamic_slice(
+            dsl, (1 + dz, 1 + dy, 1 + dx), (ns - 2, rows_t, w - 2))
+
+    ctr = sl(0, 0, 0)
+    mx = None
+    mn = None
+    for a in (-1, 0, 1):
+        for b in (-1, 0, 1):
+            for c in (-1, 0, 1):
+                if a == b == c == 0:
+                    continue
+                v = sl(a, b, c)
+                mx = v if mx is None else jnp.maximum(mx, v)
+                mn = v if mn is None else jnp.minimum(mn, v)
+    xg = 1 + jax.lax.broadcasted_iota(jnp.int32, ctr.shape, 2)
+    cand = ((jnp.abs(ctr) > dog_threshold * 0.8)
+            & ((ctr > mx) | (ctr < mn)) & (xg <= w_true - 2))
+    code_u = code_i.astype(jnp.uint8) + _CODE_CAND * cand.astype(jnp.uint8)
+    code_t = jnp.pad(code_u, ((0, 0), (0, 0), (1, wp - w + 1)))
+    cand_w = jnp.pad(cand.astype(jnp.int32), ((0, 0), (0, 0),
+                                              (1, wp - w + 1)))
+    counts_t = cand_w.reshape(ns - 2, rows_t, wp // 128, 128).sum(-1)
+    return code_t, counts_t.transpose(1, 0, 2)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "dog_threshold", "capacity", "max_single_w", "col_tile"))
 def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
@@ -170,18 +221,29 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
     s_layers = ns - 2
     # Interior rows are 1..h-2; blocks start at multiples of _BR.
     nsteps = -(-(h - 2) // _BR)
-    hp = nsteps * _BR + 8  # halo slack
+    hr = nsteps * _BR
+    # Row blocks whose 8-row DMA halo is provably in bounds; the remaining
+    # interior rows (<= ~40) are the XLA tail (_tail_rows) — replacing the
+    # whole-stack jnp.pad (126 MB/frame at 1536x1024, ~0.8 ms with its
+    # layout-copy companion in the round-4 trace).
+    fs = min(nsteps, max(0, (h - 8) // _BR))
+    d_orig = d
 
     if w <= max_single_w:
         # Single column tile: whole rows stream through VMEM.
-        if hp > h or w > w_true:
-            d = jnp.pad(d, ((0, 0), (0, max(hp - h, 0)), (0, w - w_true)))
+        if fs == 0:
+            # Tiny images (< 2 row blocks): keep the old all-Pallas pad
+            # path — the pad is a few KB here.
+            d = jnp.pad(d, ((0, 0), (0, hr + 8 - h), (0, w - w_true)))
+            fs = nsteps
+        elif w > w_true:
+            d = jnp.pad(d, ((0, 0), (0, 0), (0, w - w_true)))
         kernel = _make_front_kernel(ns, h, w_true, w, dog_threshold,
                                     cw=w, halo=0)
         nblk = w // 128
         code, counts = pl.pallas_call(
             kernel,
-            grid=(nsteps,),
+            grid=(fs,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(
                 pl.BlockSpec((s_layers, _BR, w), lambda i: (0, i, 0),
@@ -190,16 +252,27 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((s_layers, nsteps * _BR, w),
-                                     jnp.uint8),
-                jax.ShapeDtypeStruct((nsteps * _BR, s_layers, nblk),
-                                     jnp.int32),
+                jax.ShapeDtypeStruct((s_layers, hr, w), jnp.uint8),
+                jax.ShapeDtypeStruct((hr, s_layers, nblk), jnp.int32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((ns, _BR + 8, w), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         )(d)
+        if fs < nsteps:
+            ts = fs * _BR
+            code_t, counts_t = _tail_rows(d_orig, ts, h, w_true, w,
+                                          dog_threshold)
+            rows_t = code_t.shape[1]
+            # Zero out count rows past the interior (kernel rows beyond
+            # the tail stay unwritten garbage; code rows there are never
+            # read — compaction only visits rows with nonzero counts).
+            counts_t = jnp.pad(
+                counts_t, ((0, hr - ts - rows_t), (0, 0), (0, 0)))
+            code = jax.lax.dynamic_update_slice(code, code_t, (0, ts, 0))
+            counts = jax.lax.dynamic_update_slice(counts, counts_t,
+                                                  (ts, 0, 0))
     else:
         # Column-tiled: wider images (e.g. octave 0 of Hannover 3456x2304
         # upsampled = 6912 px) would hold ~30 live (BR, W) intermediates
@@ -208,14 +281,18 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
         halo, cw = 128, col_tile
         ncols = -(-w_true // cw)
         wp = ncols * cw
-        d = jnp.pad(d, ((0, 0), (0, max(hp - h, 0)),
-                        (halo, wp + halo - w_true)))
+        if fs == 0:
+            d = jnp.pad(d, ((0, 0), (0, hr + 8 - h),
+                            (halo, wp + halo - w_true)))
+            fs = nsteps
+        else:
+            d = jnp.pad(d, ((0, 0), (0, 0), (halo, wp + halo - w_true)))
         kernel = _make_front_kernel(ns, h, w_true, wp, dog_threshold,
                                     cw=cw, halo=halo)
         cblk = cw // 128
         code, counts_p = pl.pallas_call(
             kernel,
-            grid=(nsteps, ncols),
+            grid=(fs, ncols),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(
                 pl.BlockSpec((s_layers, _BR, cw), lambda i, j: (0, i, j),
@@ -224,9 +301,8 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((s_layers, nsteps * _BR, wp),
-                                     jnp.uint8),
-                jax.ShapeDtypeStruct((nsteps * _BR, s_layers, ncols * 128),
+                jax.ShapeDtypeStruct((s_layers, hr, wp), jnp.uint8),
+                jax.ShapeDtypeStruct((hr, s_layers, ncols * 128),
                                      jnp.int32),
             ),
             scratch_shapes=[
@@ -235,9 +311,24 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
             ],
         )(d)
         # Strip the 128-lane per-tile padding back to the real blocks.
-        hr_ = nsteps * _BR
-        counts = counts_p.reshape(hr_, s_layers, ncols, 128)[
-            ..., :cblk].reshape(hr_, s_layers, ncols * cblk)
+        counts = counts_p.reshape(hr, s_layers, ncols, 128)[
+            ..., :cblk].reshape(hr, s_layers, ncols * cblk)
+        if fs < nsteps:
+            ts = fs * _BR
+            # The tail works on the unpadded stack; lane-pad its outputs
+            # to the tiled width.
+            wt128 = -(-w_true // 128) * 128
+            code_t, counts_t = _tail_rows(d_orig, ts, h, w_true, wt128,
+                                          dog_threshold)
+            rows_t = code_t.shape[1]
+            code_t = jnp.pad(code_t, ((0, 0), (0, 0),
+                                      (0, wp - wt128)))
+            counts_t = jnp.pad(
+                counts_t, ((0, hr - ts - rows_t), (0, 0),
+                           (0, (wp - wt128) // 128)))
+            code = jax.lax.dynamic_update_slice(code, code_t, (0, ts, 0))
+            counts = jax.lax.dynamic_update_slice(counts, counts_t,
+                                                  (ts, 0, 0))
         w = wp
 
     # Three-level rank select: rank -> (layer, row) via a tiny row-total
@@ -293,24 +384,32 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
             cs_in = jnp.cumsum(cand_rows, axis=1)
             xin = jnp.sum(cs_in < within_b[:, None], axis=1,
                           dtype=jnp.int32)
-            xx = blk * 128 + jnp.clip(xin, 0, 127)
+            xinc = jnp.clip(xin, 0, 127)
+            xx = blk * 128 + xinc
             xx = jnp.clip(xx, 0, w - 1)
+            # The candidate's own walk code comes free from the block in
+            # hand — saves the refinement walk's step-0 gather.
+            c0 = jnp.take_along_axis(
+                blk128, xinc[:, None], axis=1)[:, 0].astype(jnp.int32)
+            c0 = jax.lax.rem(c0, _CODE_CAND)
             pad = (0, capacity - kb)
-            return (jnp.pad(sc, pad), jnp.pad(yy, pad), jnp.pad(xx, pad))
+            return (jnp.pad(sc, pad), jnp.pad(yy, pad), jnp.pad(xx, pad),
+                    jnp.pad(c0, pad))
         return run
 
     sizes = bucket_sizes(capacity, lo=2048)
     if len(sizes) == 1:
-        sc, yy, xx = compact_at(capacity)()
+        sc, yy, xx, c0 = compact_at(capacity)()
     else:
         bi = sum((total > s).astype(jnp.int32) for s in sizes[:-1])
-        sc, yy, xx = jax.lax.switch(bi, [compact_at(s) for s in sizes])
+        sc, yy, xx, c0 = jax.lax.switch(bi, [compact_at(s) for s in sizes])
 
     live = jnp.arange(capacity) < total
     cand = Candidates(
         s=jnp.where(live, sc + 1, 1).astype(jnp.int32),
         y=jnp.where(live, yy + 1, 1).astype(jnp.int32),
         x=jnp.where(live, xx, 1).astype(jnp.int32),
-        count=total.astype(jnp.int32))
+        count=total.astype(jnp.int32),
+        code0=jnp.where(live, c0, 0).astype(jnp.int32))
     # Full-width layout: code[s-1, y-1, x] (see extract.refine_candidates).
     return cand, code

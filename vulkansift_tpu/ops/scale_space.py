@@ -177,11 +177,19 @@ def build_pyramid(
       config.pyramid_precision.
     """
     s = config.nb_scales_per_octave
-    # FLOAT16 = IEEE fp16 STORAGE (reference parity, sift_memory.c:139):
-    # gradients downstream are tiny differences of near-equal pixels, and
-    # bf16's 8-bit mantissa corrupts them enough to collapse match recall
-    # to ~0.25 of f32 (measured via perf/parity.py); fp16's 10 bits match
-    # the reference's quality envelope. All arithmetic stays f32.
+    # FLOAT16 = IEEE fp16 STORAGE (reference parity, sift_memory.c:139);
+    # bf16's 8-bit mantissa corrupts downstream gradients enough to
+    # collapse match recall to ~0.25 of f32 (measured via perf/parity.py).
+    #
+    # The ENTIRE arithmetic chain (blur cascade, octave seeding, DoG
+    # subtraction) runs in f32 and quantizes only at storage: feeding
+    # fp16-rounded layers back into the cascade puts gaussian-scale
+    # (~0.5) rounding error (~2.4e-4 absolute) onto DoG values that are
+    # only ~0.01 — a 2-3% relative error that collapses the strict
+    # 26-neighbor extremum comparisons and cost 37% of keypoints
+    # (results/recall_parity.txt, round 3). Quantizing the finished DoG
+    # instead introduces error at the DoG's own scale (fp16 is
+    # floating — ~0.05% here), which the recall metrics don't see.
     dtype = (jnp.float16 if config.pyramid_precision == PyramidPrecision.FLOAT16
              else jnp.float32)
     kernels = [gaussian.half_kernel(sig) for sig in gaussian.kernel_sigmas(config)]
@@ -205,34 +213,32 @@ def build_pyramid(
         return is_tpu_backend() and pallas_blur.eligible(h, w, dtype)
 
     def _blur(x, taps_np, with_dog):
+        # x is always f32 here (see dtype note above).
         if _use_kernel(*x.shape):
             return pallas_blur.blur_dog_tpu(
                 x, tuple(float(t) for t in taps_np), with_dog=with_dog)
         y = blur_separable(x, taps_np)
-        return y, ((y.astype(jnp.float32)
-                    - x.astype(jnp.float32)).astype(dtype)
-                   if with_dog else None)
+        return y, ((y - x) if with_dog else None)
 
     gaussians: List[jax.Array] = []
     dogs: List[jax.Array] = []
 
     # Octave 0 seed: (optionally upsampled) input blurred to seed sigma.
     seed = upsample2x_linear(image) if config.use_input_upsampling else image
-    seed = seed.astype(dtype)
-    base, _ = _blur(seed, kernels[0], with_dog=False)
+    base, _ = _blur(seed.astype(jnp.float32), kernels[0], with_dog=False)
 
     for o, (h, w) in enumerate(octave_shapes):
         if o > 0:
-            base = downsample2x_nearest(gaussians[o - 1][s], h, w)
+            base = downsample2x_nearest(base_top, h, w)
         scales = [base]
         dog_layers: List[jax.Array] = []
         for i in range(1, s + 3):
             y, dg = _blur(scales[i - 1], kernels[i], with_dog=True)
             scales.append(y)
             dog_layers.append(dg)
-        g = jnp.stack(scales, axis=0)
-        gaussians.append(g)
-        dogs.append(jnp.stack(dog_layers, axis=0))
+        base_top = scales[s]  # f32 seed for the next octave
+        gaussians.append(jnp.stack(scales, axis=0).astype(dtype))
+        dogs.append(jnp.stack(dog_layers, axis=0).astype(dtype))
 
     return tuple(gaussians), tuple(dogs)
 

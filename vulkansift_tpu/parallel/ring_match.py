@@ -74,8 +74,7 @@ def make_ring_match_fn(mesh: Mesh, axis_name: str = "data"):
                 preferred_element_type=jnp.float32)
             d2 = a_sq[:, None] + bsq_cur[None, :] - 2.0 * dots
             col = offset + jnp.arange(nb_l, dtype=jnp.int32)[None, :]
-            d2 = jnp.where(col < count_b, d2, _INF)
-            t = _top2_of_tile(d2, offset)
+            t = _top2_of_tile(d2, offset, col < count_b)
             top2 = _merge_top2(top2, t)
             # Rotate the B shard to the next device (skippable on the last
             # step, but keeping it unconditional lets XLA overlap it).

@@ -59,8 +59,25 @@ from .utils.backend import is_tpu_backend
 # the small-octave tail shares one global walk. Module-level so tests can
 # exercise the hybrid split on small images.
 import os as _os
-_GLOBAL_REFINE_MAX_CELLS = int(_os.environ.get(
-    "VKSIFT_GLOBAL_REFINE_MAX_CELLS", 16_000_000))
+
+
+def _env_int(name: str, default: int) -> int:
+    raw = _os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+        if val <= 0:
+            raise ValueError(f"must be > 0, got {val}")
+        return val
+    except ValueError as e:
+        import warnings
+        warnings.warn(f"ignoring bad {name}={raw!r}: {e}", stacklevel=2)
+        return default
+
+
+_GLOBAL_REFINE_MAX_CELLS = _env_int(
+    "VKSIFT_GLOBAL_REFINE_MAX_CELLS", 16_000_000)
 _PER_OCTAVE_REFINE_MIN_W = 1024
 # Octaves at least this wide take the Pallas dense-frontend kernel; below
 # it the XLA dense_frontend wins (kernel launch amortization). Round 2 set

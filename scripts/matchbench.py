@@ -56,6 +56,12 @@ def main():
         print(f"match_2nn_fused{n}x{n}: {ms3:7.2f} ms "
               f"({2 * n * n * 128 / ms3 / 1e9:.1f} GFLOP/ms-ish)")
 
+        from vulkansift_tpu.ops import pallas_match as pm
+        fn4 = jax.jit(lambda a, b: pm._match_2nn_tiles_rowmajor(
+            a, ca, b, cb))
+        ms4 = timed(fn4, (da, db))
+        print(f"fused rowmajor {n}x{n}: {ms4:7.2f} ms")
+
 
 if __name__ == "__main__":
     main()

@@ -1,6 +1,7 @@
 """Golden tests for DoG extremum detection and subpixel refinement
 (reference semantics: shaders/ExtractKeypoints.comp)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -17,6 +18,7 @@ def _dog_for(img_u8, config):
     return gaussians, dogs, config.octave_resolutions(w, h)
 
 
+@pytest.mark.heavy
 def test_extremum_candidates_match_golden(small_image):
     c = SiftConfig(use_input_upsampling=False)
     _, dogs, _ = _dog_for(small_image, c)

@@ -25,6 +25,7 @@ def test_runtime_probe():
     vs.unload_runtime()
 
 
+@pytest.mark.heavy
 def test_error_callback_and_invalid_inputs(instance, blob_image):
     seen = []
     inst = vs.SiftInstance(
@@ -57,6 +58,7 @@ def test_invalid_config_rejected():
         vs.SiftInstance(vs.SiftConfig(sift_buffer_count=0))
 
 
+@pytest.mark.heavy
 def test_detect_download_roundtrip(instance, blob_image):
     instance.detect_features(blob_image, 0)
     n = instance.get_features_number(0)
@@ -76,6 +78,7 @@ def test_detect_download_roundtrip(instance, blob_image):
     assert (m["dist_a_b2"] >= m["dist_a_b1"]).all()
 
 
+@pytest.mark.heavy
 def test_multi_buffer_independence(instance, blob_image):
     img2 = blob_image[::-1].copy()
     instance.detect_features(blob_image, 0)
@@ -106,6 +109,7 @@ def test_scale_space_access(instance, blob_image):
         instance.download_dog_image(0, 99, 0)
 
 
+@pytest.mark.heavy
 def test_match_count_snapshot_immune_to_redetect(instance, blob_image):
     """Multi-buffer pipelining: the match count is a snapshot of buffer A's
     count at match dispatch; re-detecting into A before the download must
@@ -137,6 +141,7 @@ def test_upload_invalidates_scale_space_metadata(instance, blob_image):
         instance.download_scale_space_image(0, 0, 0)
 
 
+@pytest.mark.heavy
 def test_bucketed_octave_reporting_consistent(blob_image):
     """Under resolution bucketing the debug APIs report the octave plan the
     pipeline actually ran (== len(per_octave_counts)), not a recompute from
@@ -166,6 +171,7 @@ def test_feature_numpy_layout_bit_compat():
     assert vs.MATCH_DTYPE.itemsize == 20  # 3 u32 + 2 f32
 
 
+@pytest.mark.heavy
 def test_auto_bucketing_default(blob_image):
     """resolution_bucket=0 (the default): the first two distinct
     resolutions compile exact programs; a third NEW resolution switches to
@@ -192,6 +198,7 @@ def test_auto_bucketing_default(blob_image):
     inst.close()
 
 
+@pytest.mark.heavy
 def test_resolution_bucketing_bounds_compiles(blob_image):
     """resolution_bucket > 1: images in the same bucket share one compiled
     pipeline; detected keypoints stay inside the true image region and

@@ -9,6 +9,7 @@ initializes the distributed runtime over localhost gRPC, builds one global
 against their single-device equivalents.
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -16,6 +17,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.heavy
 def test_two_process_distributed_smoke():
     env = dict(os.environ)
     env["SMOKE_PORT"] = "17846"  # avoid clashes with manual runs

@@ -82,6 +82,7 @@ def instance():
         yield inst
 
 
+@pytest.mark.heavy
 def test_keypoint_repeatability_vs_opencv(pair, instance):
     """Our keypoints on a warped pair must be as repeatable as OpenCV's."""
     img1, img2, H = pair
@@ -113,6 +114,7 @@ def test_keypoint_repeatability_vs_opencv(pair, instance):
     assert rep_ours >= 0.9 * rep_cv, (rep_ours, rep_cv)
 
 
+@pytest.mark.heavy
 def test_match_precision_vs_opencv(pair, instance):
     """Lowe-filtered match precision >= 95% of OpenCV's on the same pair."""
     img1, img2, H = pair
@@ -135,6 +137,7 @@ def test_match_precision_vs_opencv(pair, instance):
     assert prec_ours >= 0.95 * prec_cv, (prec_ours, prec_cv, n_ours, n_cv)
 
 
+@pytest.mark.heavy
 def test_cross_matching_with_opencv_descriptors(pair, instance):
     """UBC-format parity: OUR descriptors on img1 matched against OPENCV
     descriptors on img2 must still produce geometrically-correct matches —

@@ -117,6 +117,7 @@ def test_descriptor_formats_differ(pipeline_state):
     np.testing.assert_allclose(e_ubc, e_vl, atol=40)
 
 
+@pytest.mark.heavy
 def test_full_detector_end_to_end(blob_image):
     c = SiftConfig(use_input_upsampling=False, max_nb_sift_per_buffer=8192,
                    input_image_max_size=640 * 480)

@@ -73,6 +73,7 @@ def _match_pairs(out_a, n_a, out_b, n_b, ang_tol=0.02):
     return pairs, pos_hit
 
 
+@pytest.mark.heavy
 def test_backhalf_matches_xla(interpret_mode):
     img = make_blob_image(96, 128, seed=5, nb_blobs=14)
     cfg = SiftConfig(use_input_upsampling=False,
@@ -105,6 +106,7 @@ def test_backhalf_matches_xla(interpret_mode):
     assert diffs.max() <= 8
 
 
+@pytest.mark.heavy
 def test_backhalf_small_octave_atlas_bounds(interpret_mode):
     # Atlas shorter than the largest kernel window: exercises the padded
     # atlas + per-kernel row clamp (round-1 ADVICE: OOB window DMA).
@@ -124,6 +126,7 @@ def test_backhalf_small_octave_atlas_bounds(interpret_mode):
     assert len(pairs) >= 0.8 * max(n_p, n_x)
 
 
+@pytest.mark.heavy
 def test_backhalf_border_clamps(interpret_mode):
     """Keypoints near the left/right image edges exercise the window-start
     clamps and the packed kernels' repositioning-roll wrap masking (the
@@ -169,6 +172,7 @@ def test_backhalf_border_clamps(interpret_mode):
     assert diffs.max() <= 8
 
 
+@pytest.mark.heavy
 def test_hybrid_refine_split_matches_global(interpret_mode, monkeypatch):
     """The hybrid refine split (big octaves per-octave, small-octave tail
     in one global walk) must produce the same features as the all-global
@@ -195,6 +199,7 @@ def test_hybrid_refine_split_matches_global(interpret_mode, monkeypatch):
         np.asarray(out_g.features.descriptor)[:n_g])
 
 
+@pytest.mark.heavy
 def test_backhalf_capacity_clamp_and_lost(interpret_mode):
     img = make_blob_image(96, 128, seed=5, nb_blobs=14)
     big = SiftConfig(use_input_upsampling=False,

@@ -70,6 +70,7 @@ def test_blur_no_dog(interpret_mode):
                                rtol=0, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_build_pyramid_kernel_path_matches_xla(interpret_mode, monkeypatch):
     # Force the TPU formulation switches on so build_pyramid routes the
     # eligible octaves through the kernel (interpret mode), then compare

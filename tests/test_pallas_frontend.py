@@ -88,6 +88,7 @@ def test_frontend_column_tiled_matches_single(interpret_mode):
     np.testing.assert_array_equal(rc % 128, nc % 128)
 
 
+@pytest.mark.heavy
 def test_refine_accepts_frontend_code(interpret_mode):
     dog = _rand_dog((5, 64, 128), seed=2)
     thr = 0.04 / 3

@@ -27,6 +27,7 @@ def _sorted_feature_tuples(feats, n):
     return sorted(rows)
 
 
+@pytest.mark.heavy
 def test_monolithic_matches_staged(small_image):
     h, w = small_image.shape
     detect = jax.jit(make_detect_fn(CFG, w, h))
@@ -50,6 +51,7 @@ def test_monolithic_matches_staged(small_image):
                                   key_order(feats_s, n_staged))
 
 
+@pytest.mark.heavy
 def test_batched_detect_consistent(small_image):
     h, w = small_image.shape
     img2 = make_blob_image(h, w, seed=9)
@@ -66,6 +68,7 @@ def test_batched_detect_consistent(small_image):
             np.asarray(single.features.x)[:n], atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_dp_detect_on_mesh(small_image):
     n_dev = len(jax.devices())
     assert n_dev == 8, "conftest must provide 8 virtual devices"
@@ -149,6 +152,7 @@ def test_ring_match_tie_breaking_across_shards():
     assert int(m.idx_b2[0]) == 1
 
 
+@pytest.mark.heavy
 def test_scaling_measurement_runs():
     from vulkansift_tpu.parallel.scaling import measure_dp_scaling
     cfg = vs.SiftConfig(use_input_upsampling=False,
@@ -161,6 +165,7 @@ def test_scaling_measurement_runs():
         assert p["fps"] > 0
 
 
+@pytest.mark.heavy
 def test_vlfeat_and_bf16_modes(small_image):
     import dataclasses
     from vulkansift_tpu.config import DescriptorFormat, PyramidPrecision

@@ -65,6 +65,7 @@ def test_downsample_nearest_odd_texels():
 
 
 @pytest.mark.parametrize("upsampling", [False, True])
+@pytest.mark.heavy
 def test_pyramid_matches_golden(small_image, upsampling):
     c = SiftConfig(use_input_upsampling=upsampling)
     img = small_image.astype(np.float32) / 255.0

@@ -191,6 +191,7 @@ def test_pose_graph_closes_loop():
     assert after < 1e-3 * before
 
 
+@pytest.mark.heavy
 def test_reconstruct_sequence_end_to_end():
     """Full driver: synthetic per-frame features with track-consistent
     descriptors -> matching -> RANSAC init -> triangulation -> BA."""

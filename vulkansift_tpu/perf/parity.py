@@ -89,30 +89,52 @@ def _cubic_noise(h, w, seed):
                          cv2.NORM_MINMAX).astype(np.uint8)
 
 
-def _photo(h, w, seed):
-    """Real photograph — matplotlib's bundled ``grace_hopper.jpg``, the
-    only real image data shipped in this offline environment. Synthetic
-    textures lack the edge/flat-region statistics of photographs (the
-    reference's oracle is real Oxford data, perf_matching.cpp:30-79), so
-    this family hardens the protocol with genuine photo content; the seed
-    varies the crop so the family contributes distinct frames."""
-    import cv2
+def _bundled_photo_paths():
+    """Real photographs shipped inside this offline environment's
+    libraries. Synthetic textures lack the edge/flat-region statistics of
+    photographs (the reference's oracle is real Oxford data,
+    perf_matching.cpp:30-79), so these families harden the protocol with
+    genuine photo content spanning a portrait, architecture, a natural
+    macro, and a webcam frame."""
     import matplotlib
-    path = os.path.join(os.path.dirname(matplotlib.__file__),
-                        "mpl-data", "sample_data", "grace_hopper.jpg")
-    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-    rng = np.random.default_rng(seed)
-    ph, pw = img.shape
-    ch, cw = int(ph * 0.8), int(pw * 0.8)
-    y0 = int(rng.integers(0, ph - ch + 1))
-    x0 = int(rng.integers(0, pw - cw + 1))
-    crop = img[y0:y0 + ch, x0:x0 + cw]
-    return cv2.resize(crop, (w, h), interpolation=cv2.INTER_AREA)
+    sk = None
+    try:
+        import sklearn.datasets as _sd
+        sk = os.path.join(os.path.dirname(_sd.__file__), "images")
+    except ImportError:
+        pass
+    paths = {"hopper": os.path.join(os.path.dirname(matplotlib.__file__),
+                                    "mpl-data", "sample_data",
+                                    "grace_hopper.jpg")}
+    if sk:
+        paths["china"] = os.path.join(sk, "china.jpg")
+        paths["flower"] = os.path.join(sk, "flower.jpg")
+    cam = ("/opt/venv/lib/python3.12/site-packages/pygame/docs/"
+           "generated/_images/camera_rgb.jpg")
+    if os.path.exists(cam):
+        paths["camera"] = cam
+    return {k: p for k, p in paths.items() if os.path.exists(p)}
 
 
-TEXTURES = (("photo", _photo), ("noise", _multiscale_noise),
-            ("blobs", _blobs), ("checker", _checker),
-            ("cubic", _cubic_noise))
+def _make_photo(path):
+    def gen(h, w, seed):
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        rng = np.random.default_rng(seed)
+        ph, pw = img.shape
+        ch, cw = int(ph * 0.9), int(pw * 0.9)
+        y0 = int(rng.integers(0, ph - ch + 1))
+        x0 = int(rng.integers(0, pw - cw + 1))
+        crop = img[y0:y0 + ch, x0:x0 + cw]
+        return cv2.resize(crop, (w, h), interpolation=cv2.INTER_AREA)
+    return gen
+
+
+TEXTURES = tuple(
+    [(f"photo_{name}", _make_photo(p))
+     for name, p in sorted(_bundled_photo_paths().items())]
+    + [("noise", _multiscale_noise), ("blobs", _blobs),
+       ("checker", _checker), ("cubic", _cubic_noise)])
 
 
 # ---------------------------------------------------------------------------
@@ -151,6 +173,16 @@ def warp_sweep(img1: np.ndarray, quick: bool = False
         hm = np.array([[1, 0.05, 0], [0.02, 1, 0], [p, p / 2, 1.0]])
         hm = t2 @ hm @ t1
         yield (f"tilt{p}", cv2.warpPerspective(img1, hm, (w, h)), hm)
+
+    # Illumination (the Oxford "leuven" set varies exposure; H = identity).
+    gammas = (0.6,) if quick else (0.6, 1.6)
+    f = img1.astype(np.float64) / 255.0
+    for g in gammas:
+        img2 = np.clip(255.0 * f ** g, 0, 255).astype(np.uint8)
+        yield (f"gamma{g}", img2, np.eye(3))
+    if not quick:
+        img2 = np.clip(img1.astype(np.int32) - 50, 0, 255).astype(np.uint8)
+        yield ("dim50", img2, np.eye(3))
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,7 @@ from .config import DESC_SIZE, DescriptorFormat, SiftConfig
 from .ops import extract, patches as patches_mod, scale_space
 from .ops.descriptor import compute_descriptors
 from .ops.orientation import compute_orientations
-from .ops.patches import PatchSet, gather_patches
+from .ops.patches import PatchSet, build_patchset
 from .types import Features
 from .utils.logging import logger
 
@@ -107,18 +107,10 @@ class SiftDetector:
                 edge_threshold=cfg.edge_threshold,
                 seed_sigma=cfg.seed_scale_sigma, octave_idx=octave_idx)
 
-            cx = jnp.clip(jnp.round(refined.scale_x), 0, ow).astype(jnp.int32)
-            cy = jnp.clip(jnp.round(refined.scale_y), 0, oh).astype(jnp.int32)
-            sigma_oct = cfg.seed_scale_sigma * jnp.exp2(refined.subpix_s / s)
-            patches = gather_patches(
-                gaussians[o], refined.scale_idx, cx, cy,
-                patch_edge=self.patch_edge)
-            ps = PatchSet(
-                patches=patches, cx=cx, cy=cy,
-                scale_x=refined.scale_x, scale_y=refined.scale_y,
-                sigma_oct=sigma_oct,
-                width=jnp.full((bk,), ow, jnp.int32),
-                height=jnp.full((bk,), oh, jnp.int32))
+            # Sigma-scaled sampling: top-scale keypoints sample the next
+            # octave at half resolution (see patches.build_patchset).
+            ps = build_patchset(gaussians, o, refined, cfg, oct_res,
+                                self.patch_edge)
             ori = compute_orientations(
                 ps, ori_radius=self.ori_radius, capacity=self.ori_capacity)
 

@@ -1014,33 +1014,60 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
                                 for o in range(nb_oct)])
 
     oct_id = per_kp(list(range(nb_oct)), jnp.int32)
-    k_off = per_kp(band_off, jnp.int32)
-    k_ow = per_kp([ow for ow, _ in oct_res], jnp.int32)
-    k_oh = per_kp([oh for _, oh in oct_res], jnp.int32)
+
+    # Sigma-scaled sampling (see patches.build_patchset): keypoints at the
+    # octave's top scales (scale_idx >= s) sample the NEXT octave's band at
+    # half resolution — same absolute blur, a quarter of the window area,
+    # so the dominant large-sigma pairs drop from the big-window descriptor
+    # bucket into the packed small-window ones. Pure metadata rewriting:
+    # the kernels read per-keypoint sampling scalars and don't care which
+    # band a window DMAs from. Next-octave constants materialize by
+    # segment concatenation like the own-octave ones (never table gathers).
+    from .patches import sigma_remap_enabled
+    nxt = [min(o + 1, nb_oct - 1) for o in range(nb_oct)]
+    remap = (per_kp([1 if o + 1 < nb_oct else 0 for o in range(nb_oct)],
+                    jnp.int32) > 0) & (scale_idx >= s)
+    if not sigma_remap_enabled():
+        remap = jnp.zeros_like(remap)
+
+    def pick(vals_next, vals_own, dtype=jnp.int32):
+        return jnp.where(remap, per_kp(vals_next, dtype),
+                         per_kp(vals_own, dtype))
+
+    k_off = pick([band_off[n] for n in nxt], band_off)
+    k_ow = pick([oct_res[n][0] for n in nxt], [ow for ow, _ in oct_res])
+    k_oh = pick([oct_res[n][1] for n in nxt], [oh for _, oh in oct_res])
+    sx_s = jnp.where(remap, scale_x * 0.5, scale_x)
+    sy_s = jnp.where(remap, scale_y * 0.5, scale_y)
+    subpix_samp = jnp.where(remap, subpix_s - s, subpix_s)
+    layer = jnp.clip(jnp.where(remap, scale_idx - s, scale_idx),
+                     0, nb_layers - 1).astype(jnp.int32)
 
     sig_oct = jnp.maximum(
-        config.seed_scale_sigma * jnp.exp2(subpix_s / s), 1e-6)
-    cx = jnp.clip(jnp.round(scale_x), 0, k_ow).astype(jnp.int32)
-    cy = (jnp.clip(jnp.round(scale_y), 0, k_oh).astype(jnp.int32) + k_off)
-    layer = jnp.clip(scale_idx, 0, nb_layers - 1).astype(jnp.int32)
+        config.seed_scale_sigma * jnp.exp2(subpix_samp / s), 1e-6)
+    cx = jnp.clip(jnp.round(sx_s), 0, k_ow).astype(jnp.int32)
+    cy = (jnp.clip(jnp.round(sy_s), 0, k_oh).astype(jnp.int32) + k_off)
     ylo = (k_off + 1).astype(jnp.float32)
     yhi = (k_off + k_oh - 2).astype(jnp.float32)
     xhi = (k_ow - 2).astype(jnp.float32)
-    sy_at = scale_y + k_off.astype(jnp.float32)
+    sy_at = sy_s + k_off.astype(jnp.float32)
 
     # ONE packed per-keypoint record: every downstream consumer row-gathers
     # this matrix once instead of issuing a 1-D gather per field — a
     # (32k,) gather costs ~0.23 ms on v5e and the old layout issued ~50.
-    # Columns 0..7 are exactly the kernels' 8 meta scalars.
+    # Columns 0..7 are exactly the kernels' 8 meta scalars (SAMPLING
+    # values, possibly remapped); output positions are reconstructed from
+    # x/y/octave in PackFeatures (scale_x = x * 2^-octave_idx, exact).
     REC = jnp.stack([
-        scale_x, sy_at, sig_oct,                       # 0..2
+        sx_s, sy_at, sig_oct,                          # 0..2 sampling
         cx.astype(jnp.float32), cy.astype(jnp.float32),  # 3, 4
         ylo, yhi, xhi,                                 # 5..7
-        cat("x"), cat("y"), scale_y,                   # 8..10
+        cat("x"), cat("y"),                            # 8, 9 output
+        scale_idx.astype(jnp.float32),                 # 10 output scale_idx
         cat("sigma"), cat("intensity"),                # 11, 12
-        scale_idx.astype(jnp.float32),                 # 13
+        layer.astype(jnp.float32),                     # 13 sampling layer
         oct_id.astype(jnp.float32),                    # 14
-        subpix_s,                                      # 15
+        subpix_samp,                                   # 15 bucket key
     ], axis=-1)
 
     def addr_from_rec(rec, r1, wr, wc):
@@ -1261,12 +1288,18 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
             m = in_count if a.ndim == 1 else in_count[:, None]
             return jnp.where(m, a, jnp.zeros_like(a))
 
+        # Octave coords reconstructed from image coords (x = scale_x *
+        # 2^octave_idx in refine, so the inverse power-of-two multiply is
+        # bit-exact) — REC columns 0..7 hold SAMPLING values which may be
+        # remapped to the next octave (sigma-scaled sampling above).
+        oct_idx = pair_oct - (1 if config.use_input_upsampling else 0)
+        inv_sf = jnp.exp2(-oct_idx.astype(jnp.float32))
         fields = dict(
             x=msk(rec_p[:, 8]), y=msk(rec_p[:, 9]),
-            scale_x=msk(rec_p[:, 0]), scale_y=msk(rec_p[:, 10]),
-            scale_idx=msk(rec_p[:, 13].astype(jnp.int32)),
-            octave_idx=msk(pair_oct
-                           - (1 if config.use_input_upsampling else 0)),
+            scale_x=msk(rec_p[:, 8] * inv_sf),
+            scale_y=msk(rec_p[:, 9] * inv_sf),
+            scale_idx=msk(rec_p[:, 10].astype(jnp.int32)),
+            octave_idx=msk(oct_idx),
             sigma=msk(rec_p[:, 11]),
             orientation=msk(angle),
             intensity=msk(rec_p[:, 12]),

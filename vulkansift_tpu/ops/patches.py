@@ -26,12 +26,19 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
+import os
+from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import LAMBDA_DESCRIPTOR, LAMBDA_ORIENTATION, NB_HIST, SiftConfig
+
+
+def sigma_remap_enabled() -> bool:
+    """Sigma-scaled sampling (see :func:`build_patchset`); kill switch for
+    hardware A/Bs and debugging."""
+    return os.environ.get("VKSIFT_NO_SIGMA_REMAP") != "1"
 
 
 def max_sigma_octave_pixels(config: SiftConfig) -> float:
@@ -87,6 +94,68 @@ def gather_patches(gauss: jax.Array, scale_idx: jax.Array, cx: jax.Array,
             (1, patch_edge, patch_edge))[0]
 
     return jax.vmap(one)(scale_idx, cy, cx)
+
+
+def build_patchset(gaussians: Sequence[jax.Array], o: int, refined,
+                   config: SiftConfig,
+                   oct_res: Sequence[Tuple[int, int]],
+                   patch_edge: int) -> PatchSet:
+    """PatchSet for octave-``o`` keypoints with sigma-scaled sampling.
+
+    Keypoints refined to the octave's top scales (``scale_idx >=
+    nb_scales``) sample the NEXT octave's gaussian band at half
+    resolution: ``G[o+1][scale_idx - s]`` carries the same absolute blur
+    as ``G[o][scale_idx]`` (octave o+1 is seeded by downsampling
+    ``G[o][s]``, reference sift_detector.c:1003-1034), and at
+    sigma >= ~3 octave pixels the gaussian is bandlimited far below the
+    half-resolution Nyquist rate — so the half-res grid is an equivalent
+    sampling of the same image function at a quarter of the window area
+    (the dominant orientation/descriptor cost is linear in window area).
+    The reference shaders always sample full resolution
+    (ComputeDescriptors.comp:131-143); match-level quality parity is
+    asserted by the OpenCV differential tests and perf/parity.py
+    (>= 0.95 recall parity). Disable with VKSIFT_NO_SIGMA_REMAP=1.
+    """
+    s = config.nb_scales_per_octave
+    ow, oh = oct_res[o]
+    k = refined.scale_x.shape[0]
+    cx = jnp.clip(jnp.round(refined.scale_x), 0, ow).astype(jnp.int32)
+    cy = jnp.clip(jnp.round(refined.scale_y), 0, oh).astype(jnp.int32)
+    sig = config.seed_scale_sigma * jnp.exp2(refined.subpix_s / s)
+    if o + 1 >= len(oct_res) or not sigma_remap_enabled():
+        patches = gather_patches(gaussians[o], refined.scale_idx, cx, cy,
+                                 patch_edge=patch_edge)
+        return PatchSet(
+            patches=patches, cx=cx, cy=cy,
+            scale_x=refined.scale_x, scale_y=refined.scale_y,
+            sigma_oct=sig,
+            width=jnp.full((k,), ow, jnp.int32),
+            height=jnp.full((k,), oh, jnp.int32))
+
+    ow2, oh2 = oct_res[o + 1]
+    remap = refined.scale_idx >= s
+    sx2 = refined.scale_x * 0.5
+    sy2 = refined.scale_y * 0.5
+    cx2 = jnp.clip(jnp.round(sx2), 0, ow2).astype(jnp.int32)
+    cy2 = jnp.clip(jnp.round(sy2), 0, oh2).astype(jnp.int32)
+    p_hi = gather_patches(gaussians[o], refined.scale_idx, cx, cy,
+                          patch_edge=patch_edge)
+    p_lo = gather_patches(gaussians[o + 1], refined.scale_idx - s,
+                          cx2, cy2, patch_edge=patch_edge)
+
+    def pick(a, b):
+        return jnp.where(remap, a, b)
+
+    return PatchSet(
+        patches=jnp.where(remap[:, None, None], p_lo, p_hi),
+        cx=pick(cx2, cx), cy=pick(cy2, cy),
+        scale_x=pick(sx2, refined.scale_x),
+        scale_y=pick(sy2, refined.scale_y),
+        sigma_oct=pick(sig * 0.5, sig),
+        width=pick(jnp.full((k,), ow2, jnp.int32),
+                   jnp.full((k,), ow, jnp.int32)),
+        height=pick(jnp.full((k,), oh2, jnp.int32),
+                    jnp.full((k,), oh, jnp.int32)))
 
 
 def patch_gradients(patches: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -48,7 +48,7 @@ from .ops import extract, patches as patches_mod, scale_space
 from .ops import pallas_backhalf, pallas_frontend
 from .ops.descriptor import compute_descriptors
 from .ops.orientation import compute_orientations
-from .ops.patches import PatchSet, gather_patches
+from .ops.patches import PatchSet
 from .types import Features
 from .utils.backend import is_tpu_backend
 
@@ -95,25 +95,17 @@ class DetectOutput(NamedTuple):
     per_octave_counts: jax.Array  # i32[nb_octaves]
 
 
-def _backhalf_xla(gaussians_o, refined, *, cfg: SiftConfig, ow: int, oh: int,
+def _backhalf_xla(gaussians, o, refined, *, cfg: SiftConfig, oct_res,
                   cap_o: int, octave_idx: int, patch_edge: int,
                   ori_radius: int, desc_radius: int):
     """Pure-XLA orientation+descriptor for one octave (runs anywhere)."""
-    s = cfg.nb_scales_per_octave
     ori_cap = cfg.orientation_capacity
     use_vlfeat = cfg.descriptor_format == DescriptorFormat.VLFEAT
 
-    cx = jnp.clip(jnp.round(refined.scale_x), 0, ow).astype(jnp.int32)
-    cy = jnp.clip(jnp.round(refined.scale_y), 0, oh).astype(jnp.int32)
-    sigma_oct = cfg.seed_scale_sigma * jnp.exp2(refined.subpix_s / s)
-    patches = gather_patches(gaussians_o, refined.scale_idx, cx, cy,
-                             patch_edge=patch_edge)
-    ps = PatchSet(
-        patches=patches, cx=cx, cy=cy,
-        scale_x=refined.scale_x, scale_y=refined.scale_y,
-        sigma_oct=sigma_oct,
-        width=jnp.full((cap_o,), ow, jnp.int32),
-        height=jnp.full((cap_o,), oh, jnp.int32))
+    # Sigma-scaled sampling: top-scale keypoints sample the next octave at
+    # half resolution (see patches.build_patchset).
+    ps = patches_mod.build_patchset(gaussians, o, refined, cfg, oct_res,
+                                    patch_edge)
     ori = compute_orientations(ps, ori_radius=ori_radius, capacity=ori_cap)
 
     pair_valid = (ori.valid & refined.valid[:, None]).reshape(-1)
@@ -301,7 +293,7 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
             cap_o = caps[o]
             octave_idx = o - (1 if cfg.use_input_upsampling else 0)
             fields, pair_count, pair_total = _backhalf_xla(
-                gaussians[o], refined_list[o], cfg=cfg, ow=ow, oh=oh,
+                gaussians, o, refined_list[o], cfg=cfg, oct_res=oct_res,
                 cap_o=cap_o, octave_idx=octave_idx,
                 patch_edge=patch_edge, ori_radius=ori_radius,
                 desc_radius=desc_radius)

@@ -109,18 +109,31 @@ def upsample2x_linear(img: jax.Array) -> jax.Array:
         n = x.shape[axis]
         even, odd = up1d_parts(x, axis)
         if (axis == x.ndim - 1 and is_tpu_backend()
-                and n >= 256):
-            eo = jnp.concatenate([even, odd], axis=-1)         # (.., 2n)
-            sel = jnp.zeros((2 * n, 2 * n), jnp.float32)
-            sel = sel.at[jnp.arange(n), jnp.arange(0, 2 * n, 2)].set(1)
-            sel = sel.at[n + jnp.arange(n), jnp.arange(1, 2 * n, 2)].set(1)
-            # Default (bf16x3) precision is EXACT here: each selector
-            # column has a single unit entry, and the bf16x3 operand split
-            # reconstructs f32 values exactly under multiply-by-one.
-            return jax.lax.dot_general(
-                eo.astype(jnp.float32), sel,
-                (((eo.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+                and n >= 256 and n % 128 == 0):
+            # Lane interleave as BLOCK-DIAGONAL one-hot matmuls: output
+            # columns [2c, 2c+2T) depend only on even/odd columns
+            # [c, c+T), so a (2T, 2T) selector per tile does the same
+            # permutation as the former dense (2n, 2n) matmul at T/n of
+            # the FLOPs — the dense form cost ~440 GFLOP (several ms) at
+            # 3456x2304 where n is 3456. Default (bf16x3) precision is
+            # EXACT here: each selector column has a single unit entry,
+            # and the bf16x3 operand split reconstructs f32 values
+            # exactly under multiply-by-one.
+            t = 256 if n % 256 == 0 else 128
+            sel = jnp.zeros((2 * t, 2 * t), jnp.float32)
+            sel = sel.at[jnp.arange(t), jnp.arange(0, 2 * t, 2)].set(1)
+            sel = sel.at[t + jnp.arange(t), jnp.arange(1, 2 * t, 2)].set(1)
+            tiles = []
+            for c in range(0, n, t):
+                eo = jnp.concatenate(
+                    [jax.lax.slice_in_dim(even, c, c + t, axis=axis),
+                     jax.lax.slice_in_dim(odd, c, c + t, axis=axis)],
+                    axis=-1)                                   # (.., 2T)
+                tiles.append(jax.lax.dot_general(
+                    eo.astype(jnp.float32), sel,
+                    (((eo.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            return jnp.concatenate(tiles, axis=-1).astype(x.dtype)
         stacked = jnp.stack([even, odd], axis=axis + 1)
         new_shape = list(x.shape)
         new_shape[axis] = 2 * n

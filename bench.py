@@ -129,6 +129,7 @@ def _emit_match(ms, na, nb):
     measured against this repo's round-3 recorded 6.9 ms at 16k x 16k
     (docs/PERFORMANCE.md) so the driver history shows the trend."""
     r3_ms = 6.9
+    ms = max(ms, 1e-3)  # guard: jitter can't make a kernel take <= 0
     line = json.dumps({
         "metric": "sift_match_2nn_16k_ms",
         "value": round(ms, 3),
@@ -347,7 +348,12 @@ def main():
             _retry(lambda: int(mfn(da, db).idx_b1[0]), "match compile")
 
             def measure_match():
-                # Two-point method: the ~26 ms tunnel sync cancels.
+                # Two-point method: the ~26 ms tunnel sync cancels. The
+                # kernel is sub-ms, so k must be large enough that k
+                # executions dwarf the sync jitter (k=8 once measured
+                # NEGATIVE: 8 x 0.9 ms of work vs ~26 +- several ms of
+                # sync). k=96 puts ~90 ms of work between the two points;
+                # best-of-3 rejects residual jitter.
                 def run(k):
                     t0 = time.perf_counter()
                     out = None
@@ -356,10 +362,14 @@ def main():
                     int(out.idx_b1[0])
                     return time.perf_counter() - t0
 
-                run(2)
-                t1 = run(8)
-                t2 = run(16)
-                return (t2 - t1) / 8 * 1e3
+                run(4)
+                est = []
+                for _ in range(3):
+                    t1 = run(32)
+                    t2 = run(128)
+                    est.append((t2 - t1) / 96 * 1e3)
+                pos = [e for e in est if e > 0]
+                return min(pos) if pos else max(est)
 
             m_ms = _retry(measure_match, "match measurement")
             _emit_match(m_ms, nm, nm)

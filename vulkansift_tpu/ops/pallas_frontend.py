@@ -31,6 +31,13 @@ from .extract import (_CODE_CONV, _CODE_SING, _newton_step, bucket_sizes,
                       Candidates, rank_select)
 
 _CODE_CAND = 128  # candidate bit (u8; walk code occupies [0, 107])
+
+# Perf-triage knob (NOT a product switch): ablate parts of the dense
+# kernel to attribute its device time. "" = full kernel;
+# "nonewton" = extremum test only (walk code forced to converged);
+# "dmaonly" = stream blocks through VMEM and write near-nothing.
+import os as _os
+_ABLATE = _os.environ.get("VKSIFT_FRONTEND_ABLATE", "")
 _BR = 16          # rows per grid step
 _MAX_SINGLE_W = 4096  # beyond this, column-tile (VMEM budget)
 _CW = 2048        # interior columns per tile when tiled
@@ -88,6 +95,15 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
             interior_x = (jj >= 1) & (jj <= w_true - 2)
         interior_y = (y0 + 1 + ii) <= h - 2
 
+        # Shift slabs once per (layer, dy, dx): adjacent center layers
+        # share 2/3 of their 27-neighborhoods, and Mosaic does not CSE
+        # the pltpu.roll chains across the sc loop (ablation-measured).
+        slab = {}
+        for l in range(ns):
+            for b in (0, 1, 2):
+                for dx in (-1, 0, 1):
+                    slab[(l, b, dx)] = lat(l, b, dx)
+
         codes = []
         counts = []
         for sc in range(1, s_layers + 1):
@@ -95,34 +111,43 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
             for a in (0, 1, 2):
                 for b in (0, 1, 2):
                     for c in (0, 1, 2):
-                        nb[(a, b, c)] = lat(sc - 1 + a, b, c - 1)
+                        nb[(a, b, c)] = slab[(sc - 1 + a, b, c - 1)]
             ctr = nb[(1, 1, 1)]
-            mx = None
-            mn = None
-            for key, v in nb.items():
-                if key == (1, 1, 1):
-                    continue
-                mx = v if mx is None else jnp.maximum(mx, v)
-                mn = v if mn is None else jnp.minimum(mn, v)
-            cand = ((jnp.abs(ctr) > dog_threshold * 0.8)
-                    & ((ctr > mx) | (ctr < mn))
-                    & interior_x & interior_y)
+            if _ABLATE == "dmaonly":
+                cand = ((jnp.abs(ctr) > dog_threshold * 0.8)
+                        & interior_x & interior_y)
+            else:
+                mx = None
+                mn = None
+                for key, v in nb.items():
+                    if key == (1, 1, 1):
+                        continue
+                    mx = v if mx is None else jnp.maximum(mx, v)
+                    mn = v if mn is None else jnp.minimum(mn, v)
+                cand = ((jnp.abs(ctr) > dog_threshold * 0.8)
+                        & ((ctr > mx) | (ctr < mn))
+                        & interior_x & interior_y)
 
-            off_s, off_x, off_y, _, _, _, singular = _newton_step(
-                *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
-                  for c in (0, 1, 2)])
-            conv = ((jnp.abs(off_x) < 0.6) & (jnp.abs(off_y) < 0.6)
-                    & (jnp.abs(off_s) < 0.6))
+            if _ABLATE in ("nonewton", "dmaonly"):
+                # Triage arms: walk code degenerates to "converged here".
+                code = (_CODE_CONV + 13
+                        + _CODE_CAND * cand.astype(jnp.int32))
+            else:
+                off_s, off_x, off_y, _, _, _, singular = _newton_step(
+                    *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
+                      for c in (0, 1, 2)])
+                conv = ((jnp.abs(off_x) < 0.6) & (jnp.abs(off_y) < 0.6)
+                        & (jnp.abs(off_s) < 0.6))
 
-            def sign_code(off):
-                return jnp.where(off >= 0.6, 2,
-                                 jnp.where(off <= -0.6, 0, 1))
+                def sign_code(off):
+                    return jnp.where(off >= 0.6, 2,
+                                     jnp.where(off <= -0.6, 0, 1))
 
-            code = (sign_code(off_s) + 3 * sign_code(off_x)
-                    + 9 * sign_code(off_y)
-                    + _CODE_CONV * conv.astype(jnp.int32)
-                    + _CODE_SING * singular.astype(jnp.int32)
-                    + _CODE_CAND * cand.astype(jnp.int32))
+                code = (sign_code(off_s) + 3 * sign_code(off_x)
+                        + 9 * sign_code(off_y)
+                        + _CODE_CONV * conv.astype(jnp.int32)
+                        + _CODE_SING * singular.astype(jnp.int32)
+                        + _CODE_CAND * cand.astype(jnp.int32))
             if halo:
                 code = code[:, halo:halo + cw]
                 cand = cand[:, halo:halo + cw]

@@ -1037,8 +1037,11 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     k_off = pick([band_off[n] for n in nxt], band_off)
     k_ow = pick([oct_res[n][0] for n in nxt], [ow for ow, _ in oct_res])
     k_oh = pick([oct_res[n][1] for n in nxt], [oh for _, oh in oct_res])
-    sx_s = jnp.where(remap, scale_x * 0.5, scale_x)
-    sy_s = jnp.where(remap, scale_y * 0.5, scale_y)
+    # Next octave holds G_lo[i] = G_hi[2i+1] (odd-texel nearest blit), so
+    # hi coordinate u sits at lo coordinate (u - 1) / 2 — see
+    # patches.build_patchset.
+    sx_s = jnp.where(remap, (scale_x - 1.0) * 0.5, scale_x)
+    sy_s = jnp.where(remap, (scale_y - 1.0) * 0.5, scale_y)
     subpix_samp = jnp.where(remap, subpix_s - s, subpix_s)
     layer = jnp.clip(jnp.where(remap, scale_idx - s, scale_idx),
                      0, nb_layers - 1).astype(jnp.int32)

@@ -134,8 +134,13 @@ def build_patchset(gaussians: Sequence[jax.Array], o: int, refined,
 
     ow2, oh2 = oct_res[o + 1]
     remap = refined.scale_idx >= s
-    sx2 = refined.scale_x * 0.5
-    sy2 = refined.scale_y * 0.5
+    # Octave o+1 is seeded with G_lo[i] = G_hi[2i+1] (odd texels — the
+    # reference's half-pixel-center nearest blit, scale_space.
+    # downsample2x_nearest), so hi-res coordinate u lands at lo-res
+    # (u - 1) / 2; plain u/2 mis-centers every window by half a lo pixel
+    # (measured -8% match recall on the CPU quality-regression pair).
+    sx2 = (refined.scale_x - 1.0) * 0.5
+    sy2 = (refined.scale_y - 1.0) * 0.5
     cx2 = jnp.clip(jnp.round(sx2), 0, ow2).astype(jnp.int32)
     cy2 = jnp.clip(jnp.round(sy2), 0, oh2).astype(jnp.int32)
     p_hi = gather_patches(gaussians[o], refined.scale_idx, cx, cy,

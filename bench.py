@@ -127,9 +127,24 @@ def _emit_match(ms, na, nb):
     """2-NN matcher metric. The reference never published a matching
     number (docs/Performances.md — 'not published'); vs_baseline is
     measured against this repo's round-3 recorded 6.9 ms at 16k x 16k
-    (docs/PERFORMANCE.md) so the driver history shows the trend."""
+    (docs/PERFORMANCE.md) so the driver history shows the trend.
+
+    A non-positive ``ms`` is a measurement FAILURE (the on-device repeat
+    loop makes it structurally impossible; see measure_match) and is
+    reported as value 0 / vs_baseline 0 rather than clamped into a
+    fabricated speedup."""
     r3_ms = 6.9
-    ms = max(ms, 1e-3)  # guard: jitter can't make a kernel take <= 0
+    if not (ms > 0):
+        line = json.dumps({
+            "metric": "sift_match_2nn_16k_ms",
+            "value": 0.0,
+            "unit": (f"ms per {na}x{nb} u8-descriptor 2-NN match — "
+                     f"measurement failed (non-positive estimate)"),
+            "vs_baseline": 0.0,
+        })
+        print(line)
+        sys.stdout.flush()
+        return
     line = json.dumps({
         "metric": "sift_match_2nn_16k_ms",
         "value": round(ms, 3),
@@ -181,6 +196,13 @@ def _retry(fn, what, retries=RETRIES, on_reset=None):
 
 
 def main():
+    # Triage knobs must never leak into a bench run: the ablation arms
+    # emit degenerate (wrong) keypoints with no error.
+    for knob in ("VKSIFT_FRONTEND_ABLATE", "VKSIFT_NO_SIGMA_REMAP"):
+        if os.environ.pop(knob, None) is not None:
+            print(f"# bench: cleared leaked triage knob {knob}",
+                  file=sys.stderr)
+
     import jax
     import jax.numpy as jnp
 
@@ -348,28 +370,41 @@ def main():
             _retry(lambda: int(mfn(da, db).idx_b1[0]), "match compile")
 
             def measure_match():
-                # Two-point method: the ~26 ms tunnel sync cancels. The
-                # kernel is sub-ms, so k must be large enough that k
-                # executions dwarf the sync jitter (k=8 once measured
-                # NEGATIVE: 8 x 0.9 ms of work vs ~26 +- several ms of
-                # sync). k=96 puts ~90 ms of work between the two points;
-                # best-of-3 rejects residual jitter.
-                def run(k):
+                # On-device repeat loop: run the kernel k times inside ONE
+                # executable (lax.fori_loop) with a forced data dependence
+                # between iterations — one descriptor byte of A is
+                # overwritten with the previous iteration's result — so XLA
+                # can neither elide nor hoist iterations out of the loop.
+                # Per-kernel time = (T(k2) - T(k1)) / (k2 - k1): each T is
+                # ONE dispatch + ONE sync, so the ~26 ms tunnel sync
+                # cancels in the subtraction, and per-measurement jitter is
+                # a single sync's, not k syncs' (the old host-side loop
+                # once produced a negative number that way). Median-of-3
+                # per point; a non-positive difference is reported as a
+                # measurement failure by _emit_match, never clamped.
+                import jax.numpy as jnp_  # local: match jnp in scope
+
+                def make_loop(k):
+                    def body(i, acc):
+                        a2 = da.at[0, 0].set(acc.astype(jnp_.uint8))
+                        m = mimpl(a2, cnt, db, cnt)
+                        return m.idx_b1[0].astype(jnp_.int32) + (acc & 1)
+                    return jax.jit(
+                        lambda: jax.lax.fori_loop(0, k, body, jnp_.int32(0)))
+
+                k1, k2 = 16, 112
+                f1, f2 = make_loop(k1), make_loop(k2)
+                int(f1())  # compile+sync
+                int(f2())
+
+                def run(f):
                     t0 = time.perf_counter()
-                    out = None
-                    for _ in range(k):
-                        out = mfn(da, db)
-                    int(out.idx_b1[0])
+                    int(f())
                     return time.perf_counter() - t0
 
-                run(4)
-                est = []
-                for _ in range(3):
-                    t1 = run(32)
-                    t2 = run(128)
-                    est.append((t2 - t1) / 96 * 1e3)
-                pos = [e for e in est if e > 0]
-                return min(pos) if pos else max(est)
+                t1s = sorted(run(f1) for _ in range(3))
+                t2s = sorted(run(f2) for _ in range(3))
+                return (t2s[1] - t1s[1]) / (k2 - k1) * 1e3
 
             m_ms = _retry(measure_match, "match measurement")
             _emit_match(m_ms, nm, nm)

@@ -36,8 +36,19 @@ _CODE_CAND = 128  # candidate bit (u8; walk code occupies [0, 107])
 # kernel to attribute its device time. "" = full kernel;
 # "nonewton" = extremum test only (walk code forced to converged);
 # "dmaonly" = stream blocks through VMEM and write near-nothing.
+# Ablation silently emits degenerate walk codes (wrong keypoints, no
+# error) and the XLA tail rows (_tail_rows) are NOT ablated, so the knob
+# must never leak into a real run — hence the loud warning.
 import os as _os
+import sys as _sys
 _ABLATE = _os.environ.get("VKSIFT_FRONTEND_ABLATE", "")
+if _ABLATE:
+    print(
+        "#" * 72 + "\n"
+        f"# WARNING: VKSIFT_FRONTEND_ABLATE={_ABLATE!r} is set — the dense\n"
+        "# frontend kernel will emit DEGENERATE walk codes (triage-only\n"
+        "# mode; keypoints will be WRONG). Unset it for any real run.\n"
+        + "#" * 72, file=_sys.stderr, flush=True)
 _BR = 16          # rows per grid step
 _MAX_SINGLE_W = 4096  # beyond this, column-tile (VMEM budget)
 _CW = 2048        # interior columns per tile when tiled

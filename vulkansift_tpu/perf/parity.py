@@ -206,17 +206,48 @@ def pair_stats(img_shape, hmat: np.ndarray, r1: DetectResult,
     return vis, len(matches), int((dist < PIXEL_DIST_THRESHOLD).sum())
 
 
+DEFAULT_MODES = ("ubc_f32", "ubc_fp16", "vlfeat_f32")
+QUICK_MODES = ("ubc_f32", "ubc_fp16")
+
+
 def run_parity(out_dir: str = ".", quick: bool = False,
-               size: Tuple[int, int] = (480, 640)) -> Dict[str, float]:
-    """Run the full parity protocol; returns summary dict."""
+               size: Tuple[int, int] = (480, 640),
+               modes: Tuple[str, ...] = None,
+               budget_s: float = 0.0,
+               out_name: str = "recall_parity.txt") -> Dict[str, float]:
+    """Run the parity protocol; returns summary dict.
+
+    Budget-aware + crash-proof (round-4 lesson: a 30-min hardware run
+    timed out with ZERO output, results/hw_r4d/parity.log): per-pair
+    result lines are flushed to ``out_dir/out_name`` AS THEY COMPLETE, a
+    wall-clock ``budget_s`` (0 = unlimited) stops the sweep mid-mode, and
+    the summary is always computed from whatever finished — a mode that
+    only covered a pair prefix is compared against the OpenCV totals over
+    the SAME prefix (apples to apples), with the coverage recorded as
+    ``pairs_<mode>``.
+
+    Modes: ``<fmt>_<precision>[_noremap]`` — fmt in {ubc, vlfeat},
+    precision in {f32, fp16}; the ``_noremap`` suffix disables
+    sigma-scaled sampling (VKSIFT_NO_SIGMA_REMAP=1) for remap-on/off
+    recall A/Bs.
+    """
+    import time as _time
     import vulkansift_tpu as vs
     from .harness import VulkanSiftTpuDetector
+
+    t_start = _time.monotonic()
+
+    def out_of_budget():
+        return budget_s > 0 and (_time.monotonic() - t_start) > budget_s
 
     h, w = size
     cv_det = OpenCvDetector()
     cv_det.init()
 
-    def tpu_detector(fmt, precision):
+    def tpu_detector(mode: str):
+        parts = mode.split("_")
+        fmt, precision = parts[0], parts[1]
+        noremap = "noremap" in parts[2:]
         det = VulkanSiftTpuDetector(max_features=16384)
         det.init()
         det._cfg = vs.SiftConfig(
@@ -230,12 +261,11 @@ def run_parity(out_dir: str = ".", quick: bool = False,
                                if precision == "fp16"
                                else vs.PyramidPrecision.FLOAT32))
         det._inst = vs.SiftInstance(det._cfg)
-        det.name = f"vulkansift_tpu_{fmt}_{precision}"
-        return det
+        det.name = f"vulkansift_tpu_{mode}"
+        return det, noremap
 
-    modes = [("ubc", "f32"), ("ubc", "fp16")] if quick else [
-        ("ubc", "f32"), ("ubc", "fp16"), ("vlfeat", "f32")]
-    lines: List[str] = []
+    if modes is None:
+        modes = QUICK_MODES if quick else DEFAULT_MODES
     summary: Dict[str, float] = {}
 
     # Pre-generate all pairs once so every detector sees identical data.
@@ -245,10 +275,20 @@ def run_parity(out_dir: str = ".", quick: bool = False,
         for tag, img2, hmat in warp_sweep(img1, quick=quick):
             pairs.append((tname, tag, img1, img2, hmat))
 
-    # OpenCV baseline over all pairs.
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, out_name)
+    fh = open(out_path, "w")
+    fh.write("# detector;texture;warp;visible_kp;matches;correct\n")
+    fh.flush()
+
+    def emit(line):
+        fh.write(line + "\n")
+        fh.flush()
+
+    # OpenCV baseline over all pairs (CPU, fast; never budget-gated so
+    # every TPU prefix has a same-length baseline prefix to compare to).
     cv_cache: Dict[int, DetectResult] = {}
-    cv_tot = np.zeros(3, np.int64)
-    cv_rows = []
+    cv_rows: List[Tuple[int, int, int]] = []
     for (tname, tag, img1, img2, hmat) in pairs:
         k1 = id(img1)
         if k1 not in cv_cache:
@@ -256,38 +296,69 @@ def run_parity(out_dir: str = ".", quick: bool = False,
         r2 = cv_det.detect(img2)
         st = pair_stats(img2.shape, hmat, cv_cache[k1], r2)
         cv_rows.append(st)
-        cv_tot += st
-        lines.append(f"OpenCV;{tname};{tag};{st[0]};{st[1]};{st[2]}")
-    cv_recall = cv_tot[2] / max(cv_tot[0], 1)
+        emit(f"OpenCV;{tname};{tag};{st[0]};{st[1]};{st[2]}")
+    cv_tot_all = np.asarray(cv_rows, np.int64).sum(axis=0)
+    cv_recall = cv_tot_all[2] / max(cv_tot_all[0], 1)
 
-    for fmt, precision in modes:
-        det = tpu_detector(fmt, precision)
-        tot = np.zeros(3, np.int64)
-        cache: Dict[int, DetectResult] = {}
-        for i, (tname, tag, img1, img2, hmat) in enumerate(pairs):
-            k1 = id(img1)
-            if k1 not in cache:
-                cache[k1] = det.detect(img1)
-            r2 = det.detect(img2)
-            st = pair_stats(img2.shape, hmat, cache[k1], r2)
-            tot += st
-            lines.append(f"{det.name};{tname};{tag};{st[0]};{st[1]};{st[2]}")
-        det.terminate()
+    import os as _os_mod
+    for mode in modes:
+        if out_of_budget():
+            emit(f"# budget exhausted before mode {mode}")
+            summary[f"skipped_{mode}"] = 1.0
+            continue
+        noremap_prev = _os_mod.environ.get("VKSIFT_NO_SIGMA_REMAP")
+        det = None
+        done = 0
+        try:
+            det, noremap = tpu_detector(mode)
+            if noremap:
+                _os_mod.environ["VKSIFT_NO_SIGMA_REMAP"] = "1"
+            tot = np.zeros(3, np.int64)
+            cache: Dict[int, DetectResult] = {}
+            done = 0
+            for i, (tname, tag, img1, img2, hmat) in enumerate(pairs):
+                if out_of_budget():
+                    emit(f"# budget exhausted in mode {mode} after "
+                         f"{done}/{len(pairs)} pairs")
+                    break
+                k1 = id(img1)
+                if k1 not in cache:
+                    cache[k1] = det.detect(img1)
+                r2 = det.detect(img2)
+                st = pair_stats(img2.shape, hmat, cache[k1], r2)
+                tot += st
+                done = i + 1
+                emit(f"{det.name};{tname};{tag};{st[0]};{st[1]};{st[2]}")
+        finally:
+            if det is not None:
+                det.terminate()
+            if noremap_prev is None:
+                _os_mod.environ.pop("VKSIFT_NO_SIGMA_REMAP", None)
+            else:
+                _os_mod.environ["VKSIFT_NO_SIGMA_REMAP"] = noremap_prev
+        if done == 0:
+            summary[f"skipped_{mode}"] = 1.0
+            continue
+        # Compare against the OpenCV totals over the SAME pair prefix.
+        cv_tot = np.asarray(cv_rows[:done], np.int64).sum(axis=0)
+        cv_recall_pfx = cv_tot[2] / max(cv_tot[0], 1)
         recall = tot[2] / max(tot[0], 1)
-        key = f"{fmt}_{precision}"
-        summary[f"recall_{key}"] = float(recall)
-        summary[f"correct_{key}"] = int(tot[2])
-        summary[f"parity_{key}"] = float(recall / max(cv_recall, 1e-12))
-        summary[f"correct_ratio_{key}"] = float(tot[2] / max(cv_tot[2], 1))
+        summary[f"recall_{mode}"] = float(recall)
+        summary[f"correct_{mode}"] = int(tot[2])
+        summary[f"parity_{mode}"] = float(recall / max(cv_recall_pfx, 1e-12))
+        summary[f"correct_ratio_{mode}"] = float(tot[2] / max(cv_tot[2], 1))
+        summary[f"pairs_{mode}"] = done
+        # Flush the running summary after EVERY mode so a later hang
+        # still leaves this mode's numbers on disk.
+        emit(f"# partial summary after {mode}: " + repr(summary))
 
     summary["recall_OpenCV"] = float(cv_recall)
-    summary["correct_OpenCV"] = int(cv_tot[2])
+    summary["correct_OpenCV"] = int(cv_tot_all[2])
+    summary["pairs_total"] = len(pairs)
+    summary["elapsed_s"] = round(_time.monotonic() - t_start, 1)
 
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "recall_parity.txt"), "w") as f:
-        f.write("# detector;texture;warp;visible_kp;matches;correct\n")
-        f.write("\n".join(lines) + "\n")
-        f.write("# summary: " + repr(summary) + "\n")
+    emit("# summary: " + repr(summary))
+    fh.close()
     return summary
 
 
@@ -295,10 +366,20 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--budget", type=float, default=0.0,
+                    help="wall-clock budget in seconds (0 = unlimited); "
+                         "partial results are flushed and summarized")
+    ap.add_argument("--modes", default=None,
+                    help="comma-separated modes, e.g. "
+                         "ubc_f32,ubc_fp16,ubc_f32_noremap")
+    ap.add_argument("--out-name", default="recall_parity.txt")
     args = ap.parse_args(argv)
-    summary = run_parity(out_dir=args.out_dir, quick=args.quick)
+    modes = tuple(args.modes.split(",")) if args.modes else None
+    summary = run_parity(out_dir=args.out_dir, quick=args.quick,
+                         modes=modes, budget_s=args.budget,
+                         out_name=args.out_name)
     for k in sorted(summary):
-        print(f"{k}: {summary[k]}")
+        print(f"{k}: {summary[k]}", flush=True)
     ok = summary.get("parity_ubc_f32", 0.0)
     print(f"PARITY (ubc/f32 vs OpenCV): {ok:.3f} "
           f"({'PASS' if ok >= 0.95 else 'FAIL'} vs 0.95 north star)")

@@ -304,6 +304,29 @@ def _gather_neighborhood(flat: jax.Array, base: jax.Array, stride_layer,
     return nb
 
 
+def _gather_neighborhood_2d(d2: jax.Array, base_row: jax.Array,
+                            layer_rows: int, col: jax.Array) -> dict:
+    """27-point neighborhoods from a 2-D ``(S*H, W)`` view of the DoG
+    stack — same 9 slice-gathers as :func:`_gather_neighborhood`, but on
+    the 2-D view the (S, H, W) -> (S*H, W) reshape is a layout-preserving
+    bitcast when H is a multiple of the 8-row tile, while the 1-D flatten
+    relayouts the whole stack (1.9 ms at 3456x2304 octave 0, round-5
+    trace). ``base_row = s*H + y``; ``layer_rows = H``."""
+    nr, w = d2.shape
+    nb = {}
+    cst = jnp.clip(col - 1, 0, w - 3)
+    for a in (0, 1, 2):
+        for b in (0, 1, 2):
+            r = base_row + (a - 1) * layer_rows + (b - 1)
+            r = jnp.clip(r, 0, nr - 1)
+            row3 = jax.vmap(
+                lambda rr, cc: jax.lax.dynamic_slice(
+                    d2, (rr, cc), (1, 3)))(r, cst)[:, 0]
+            for c in (0, 1, 2):
+                nb[(a, b, c)] = row3[:, c]
+    return nb
+
+
 @functools.partial(jax.jit, static_argnames=(
     "nb_scales", "width", "height", "dog_threshold", "edge_threshold",
     "seed_sigma", "octave_idx"))
@@ -333,14 +356,16 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
     # body and recomputes it every step (~10 ms/octave at octave 0,
     # observed in traces) instead of gathering from 1 byte/cell in HBM.
     code = jax.lax.optimization_barrier(code)
-    code_flat = code.reshape(-1)  # 1 byte/cell in HBM
+    # 2-D (S*HR, WR) view: layout-preserving (no relayout) when the row
+    # count is tile-aligned, unlike a 1-D flatten.
+    code2 = code.reshape(code.shape[0] * chr_, cwr)
 
     def code_at(rs, ry, rx):
-        if full_width:
-            idx = ((rs - 1) * chr_ + (ry - 1)) * cwr + rx
-        else:
-            idx = ((rs - 1) * chr_ + (ry - 1)) * cwr + (rx - 1)
-        c = _gather_flat(code_flat, idx).astype(jnp.int32)
+        row = (rs - 1) * chr_ + (ry - 1)
+        cc = rx if full_width else rx - 1
+        row = jnp.clip(row, 0, code2.shape[0] - 1)
+        cc = jnp.clip(cc, 0, cwr - 1)
+        c = code2[row, cc].astype(jnp.int32)
         return jax.lax.rem(c, 128)  # strip any candidate bit
 
     # --- 5-step walk over the dense code field -------------------------
@@ -371,7 +396,7 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
         return (rs, ry, rx, valid, done), None
 
     k = cand.s.shape[0]
-    d_flat = d.reshape(-1)
+    d2 = d.reshape(ns * h, w)
 
     def refine_at(kb):
         """Walk + final tests on the first ``kb`` candidate slots, padded
@@ -394,9 +419,9 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
 
             # Final Newton solve + acceptance tests at the stop cell.
             # Walk stops are interior cells, so all 27 neighbors are
-            # in-bounds; fetch as 9 contiguous 3-element slices.
-            base = (rs * h + ry) * w + rx
-            nb = _gather_neighborhood(d_flat, base, h * w, w)
+            # in-bounds; fetch as 9 contiguous 3-element slices from the
+            # 2-D view (no 1-D flatten relayout).
+            nb = _gather_neighborhood_2d(d2, rs * h + ry, h, rx)
             off_s, off_x, off_y, g_s, g_x, g_y, singular = _newton_step(
                 *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
                   for c in (0, 1, 2)])

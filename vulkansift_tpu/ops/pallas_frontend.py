@@ -312,9 +312,23 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
     else:
         # Column-tiled: wider images (e.g. octave 0 of Hannover 3456x2304
         # upsampled = 6912 px) would hold ~30 live (BR, W) intermediates
-        # in VMEM. Tiles of _CW interior columns with a 128-column halo on
-        # each side; per-row counts accumulate across column tiles.
-        halo, cw = 128, col_tile
+        # in VMEM. Tiles of ~_CW interior columns with a 128-column halo
+        # on each side; per-row counts accumulate across column tiles.
+        # The tile width snaps to the 128-multiple in [0.75x, 1.5x] of
+        # col_tile that minimizes ncols*cw - w_true: at 6912 the default
+        # 2048 gives 4x2048 = 8192 (1280 wasted lanes of kernel work and
+        # a 2.2 ms/frame pad, round-5 trace) while 3x2304 = 6912 is
+        # exact.
+        halo = 128
+        lo = max(128, (col_tile * 3 // 4) // 128 * 128)
+        best = None
+        for cand_cw in range(lo, max(col_tile * 3 // 2, lo) + 1, 128):
+            nc = -(-w_true // cand_cw)
+            waste = nc * cand_cw - w_true
+            key = (waste, nc)
+            if best is None or key < best[0]:
+                best = (key, cand_cw)
+        cw = best[1]
         ncols = -(-w_true // cw)
         wp = ncols * cw
         if fs == 0:

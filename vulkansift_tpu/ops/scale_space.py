@@ -240,18 +240,32 @@ def build_pyramid(
     seed = upsample2x_linear(image) if config.use_input_upsampling else image
     base, _ = _blur(seed.astype(jnp.float32), kernels[0], with_dog=False)
 
+    # Layers are written straight into preallocated per-octave stacks with
+    # dynamic-update-slices and read back for the next blur, so each layer
+    # has ONE consumer chain and XLA fuses the blur compute into the
+    # in-place stack write. The previous jnp.stack(...) formulation
+    # materialized every layer standalone AND re-copied it into the stack
+    # (~10 ms/frame of pure copies at 3456x2304, round-5 trace).
     for o, (h, w) in enumerate(octave_shapes):
         if o > 0:
             base = downsample2x_nearest(base_top, h, w)
-        scales = [base]
-        dog_layers: List[jax.Array] = []
+        gs = jnp.zeros((s + 3, h, w), jnp.float32)
+        ds = jnp.zeros((s + 2, h, w), jnp.float32)
+        gs = jax.lax.dynamic_update_slice(gs, base[None], (0, 0, 0))
+        prev = base
+        base_top = None
         for i in range(1, s + 3):
-            y, dg = _blur(scales[i - 1], kernels[i], with_dog=True)
-            scales.append(y)
-            dog_layers.append(dg)
-        base_top = scales[s]  # f32 seed for the next octave
-        gaussians.append(jnp.stack(scales, axis=0).astype(dtype))
-        dogs.append(jnp.stack(dog_layers, axis=0).astype(dtype))
+            y, dg = _blur(prev, kernels[i], with_dog=True)
+            gs = jax.lax.dynamic_update_slice(gs, y[None], (i, 0, 0))
+            ds = jax.lax.dynamic_update_slice(ds, dg[None], (i - 1, 0, 0))
+            # Read the layer back from the stack (a fusable strided read)
+            # instead of keeping the standalone blur output alive — the
+            # standalone tensor would force a second materialization.
+            prev = jax.lax.dynamic_slice(gs, (i, 0, 0), (1, h, w))[0]
+            if i == s:
+                base_top = prev  # f32 seed for the next octave
+        gaussians.append(gs.astype(dtype))
+        dogs.append(ds.astype(dtype))
 
     return tuple(gaussians), tuple(dogs)
 

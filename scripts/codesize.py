@@ -24,8 +24,7 @@ def main():
     top = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     w, h = map(int, wh.split("x"))
 
-    topo = topologies.get_topology_desc(
-        "v5e-4", "tpu_v5_lite", topology_name="2x2x1")
+    topo = topologies.get_topology_desc("v5e:2x2x1", "tpu")
     compiled, t_lower, t_compile = compile_detect(w, h, topo)
     ma = compiled.memory_analysis()
     code_mb = getattr(ma, "generated_code_size_in_bytes", 0) / 1e6

@@ -31,10 +31,12 @@ def main():
 
     from vulkansift_tpu.ops import pallas_frontend
 
-    rng = np.random.default_rng(0)
-    # DoG-like values: small, zero-centered, sparse extrema.
-    d = jnp.asarray((rng.standard_normal((ns, h, w)) * 0.02
-                     ).astype(np.float32))
+    # DoG-like values: small, zero-centered, sparse extrema. Generated ON
+    # DEVICE — the axon tunnel uploads at ~50 MB/s, so a host-generated
+    # 6912x4608 stack costs ~13 minutes of pure transfer.
+    d = (jax.random.normal(jax.random.PRNGKey(0), (ns, h, w), jnp.float32)
+         * 0.02)
+    d = jax.block_until_ready(d)
 
     @jax.jit
     def run(d):

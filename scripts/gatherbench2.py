@@ -33,8 +33,12 @@ def main():
     shape = sys.argv[3] if len(sys.argv) > 3 else "5,4608,6912"
     ns, h, w = map(int, shape.split(","))
 
+    # Device-generated (the tunnel uploads at ~50 MB/s).
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    d = jax.block_until_ready(
+        jax.random.normal(ks[0], (ns, h, w), jnp.float32))
     rng = np.random.default_rng(0)
-    d = jnp.asarray(rng.standard_normal((ns, h, w)).astype(np.float32))
     rs = jnp.asarray(rng.integers(1, ns - 1, k).astype(np.int32))
     ry = jnp.asarray(rng.integers(1, h - 1, k).astype(np.int32))
     rx = jnp.asarray(rng.integers(1, w - 1, k).astype(np.int32))

@@ -285,45 +285,43 @@ def _gather_flat(flat: jax.Array, idx: jax.Array) -> jax.Array:
 
 def _gather_neighborhood(flat: jax.Array, base: jax.Array, stride_layer,
                          stride_row) -> dict:
-    """27-point (3x3x3) neighborhoods around flat indices ``base``, fetched
-    as 9 contiguous 3-element slices (one lax.gather per (a, b) plane pair
-    via vmapped dynamic_slice) — the x-neighbors are adjacent in memory, so
-    this issues 3x fewer gathers than per-element indexing. Callers
+    """27-point (3x3x3) neighborhoods around flat indices ``base``, as 27
+    single-element (k,) gathers. Hardware (v5e, results/hw_r5a/
+    gatherbench.log): one element gather costs 0.017 ms at k=16384 while
+    one vmapped 3-element dynamic-slice gather costs ~0.35 ms — XLA
+    lowers plain integer-array indexing to the fast 1-D gather path and
+    vmapped slices to a ~20x slower generic path, so 27 element gathers
+    (~0.5 ms) beat the former 9 slice-gathers (~3.1 ms). Callers
     guarantee base points at interior cells; the clip only protects dummy
     slots."""
     n = flat.shape[0]
     nb = {}
     for a in (0, 1, 2):
         for b in (0, 1, 2):
-            starts = base + (a - 1) * stride_layer + (b - 1) * stride_row - 1
-            starts = jnp.clip(starts, 0, n - 3)
-            row3 = jax.vmap(
-                lambda st: jax.lax.dynamic_slice(flat, (st,), (3,)))(starts)
+            row0 = base + (a - 1) * stride_layer + (b - 1) * stride_row
             for c in (0, 1, 2):
-                nb[(a, b, c)] = row3[:, c]
+                idx = jnp.clip(row0 + c - 1, 0, n - 1)
+                nb[(a, b, c)] = flat[idx]
     return nb
 
 
 def _gather_neighborhood_2d(d2: jax.Array, base_row: jax.Array,
                             layer_rows: int, col: jax.Array) -> dict:
     """27-point neighborhoods from a 2-D ``(S*H, W)`` view of the DoG
-    stack — same 9 slice-gathers as :func:`_gather_neighborhood`, but on
-    the 2-D view the (S, H, W) -> (S*H, W) reshape is a layout-preserving
-    bitcast when H is a multiple of the 8-row tile, while the 1-D flatten
+    stack — 27 element gathers (see :func:`_gather_neighborhood`) on the
+    2-D view: the (S, H, W) -> (S*H, W) reshape is a layout-preserving
+    bitcast when H is a multiple of the 8-row tile, while a 1-D flatten
     relayouts the whole stack (1.9 ms at 3456x2304 octave 0, round-5
     trace). ``base_row = s*H + y``; ``layer_rows = H``."""
     nr, w = d2.shape
     nb = {}
-    cst = jnp.clip(col - 1, 0, w - 3)
     for a in (0, 1, 2):
         for b in (0, 1, 2):
-            r = base_row + (a - 1) * layer_rows + (b - 1)
-            r = jnp.clip(r, 0, nr - 1)
-            row3 = jax.vmap(
-                lambda rr, cc: jax.lax.dynamic_slice(
-                    d2, (rr, cc), (1, 3)))(r, cst)[:, 0]
+            r = jnp.clip(base_row + (a - 1) * layer_rows + (b - 1),
+                         0, nr - 1)
             for c in (0, 1, 2):
-                nb[(a, b, c)] = row3[:, c]
+                cc = jnp.clip(col + c - 1, 0, w - 1)
+                nb[(a, b, c)] = d2[r, cc]
     return nb
 
 

@@ -174,6 +174,20 @@ def _max_subpix_for_edge(config: SiftConfig, max_edge: int) -> float:
     return lo
 
 
+def _max_subpix_for_ori_edge(config: SiftConfig, max_edge: int) -> float:
+    """Largest subpix_s whose ORIENTATION window edge fits ``max_edge``."""
+    lo, hi = 0.0, float(config.nb_scales_per_octave + 1)
+    if ori_window_edge(_sigma_max(config, hi)) <= max_edge:
+        return hi
+    for _ in range(50):
+        mid = 0.5 * (lo + hi)
+        if ori_window_edge(_sigma_max(config, mid)) <= max_edge:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
 def _sigma_splits(config: SiftConfig) -> Tuple[float, float]:
     """subpix_s thresholds splitting pairs into 3 window-size buckets.
 
@@ -1094,6 +1108,19 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
                                h8=h_atlas, w32=w_atlas)
         kidx, kcnt = rank_select_fn(valid, total_cap)
         rec_k = REC[kidx]                                # one row gather
+
+        # Sigma split for the histogram kernel: its cost is linear in
+        # window rows (36 masked reductions over (wr, 128)), and with
+        # sigma-scaled sampling most keypoints' sampling sigma is far
+        # below the static max that sizes ``ori_geom`` (wr 48 at default
+        # config) — a second small-window geometry (wr 32) for them cuts
+        # the kernel's dominant cost ~1/3 for the majority bucket. Split
+        # key is subpix_samp (REC col 15), monotone in sampling sigma.
+        t_ori_small = _max_subpix_for_ori_edge(config, 25)
+        edge_small = ori_window_edge(_sigma_max(config, t_ori_small))
+        geom_small = _KernelGeom(wr=_window_rows(edge_small), wc=256,
+                                 h8=h_atlas, w32=w_atlas)
+        ori_split = geom_small.wr < ori_geom.wr
         # OPT-IN only: the hardware A/B (results/remeasure_r3s2, v5e)
         # measured the packed histogram kernel at 3.73 ms in-program vs
         # 0.69 ms for the unpacked kernel in isolation at the same
@@ -1104,16 +1131,37 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         # stay on by default.
         ori_packed = (ori_edge <= _PACK_MAX_EDGE
                       and os.environ.get("VKSIFT_PACKED_HIST") == "1")
-        ori_addr = addr_from_rec(rec_k, (ori_edge - 1) // 2,
-                                 ori_geom.wr, 256)
-        if ori_packed:
-            hist = orientation_hist_tpu_packed(
-                atlas, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
-                geom=ori_geom, edge=ori_edge)
+        live_k = jnp.arange(total_cap) < kcnt
+        if ori_split and not ori_packed:
+            small = (rec_k[:, 15] <= t_ori_small) & live_k
+            big = jnp.logical_not(rec_k[:, 15] <= t_ori_small) & live_k
+            idx_s, cnt_s = rank_select_fn(small, total_cap)
+            idx_b, cnt_b = rank_select_fn(big, total_cap)
+            rec_s, rec_b = rec_k[idx_s], rec_k[idx_b]
+            hist_s = orientation_hist_tpu(
+                atlas, cnt_s,
+                addr_from_rec(rec_s, (edge_small - 1) // 2,
+                              geom_small.wr, 256),
+                rec_s[:, :8].reshape(-1, 1, 8), geom=geom_small)
+            hist_b = orientation_hist_tpu(
+                atlas, cnt_b,
+                addr_from_rec(rec_b, (ori_edge - 1) // 2,
+                              ori_geom.wr, 256),
+                rec_b[:, :8].reshape(-1, 1, 8), geom=ori_geom)
+            rank_s = jnp.cumsum(small.astype(jnp.int32)) - 1
+            rank_b = jnp.cumsum(big.astype(jnp.int32)) - 1
+            hist = None  # merged at the live bucket size below
         else:
-            hist = orientation_hist_tpu(
-                atlas, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
-                geom=ori_geom)
+            ori_addr = addr_from_rec(rec_k, (ori_edge - 1) // 2,
+                                     ori_geom.wr, 256)
+            if ori_packed:
+                hist = orientation_hist_tpu_packed(
+                    atlas, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
+                    geom=ori_geom, edge=ori_edge)
+            else:
+                hist = orientation_hist_tpu(
+                    atlas, kcnt, ori_addr, rec_k[:, :8].reshape(-1, 1, 8),
+                    geom=ori_geom)
 
         # peaks (vectorized XLA; tiny per-keypoint vectors are op-issue
         # bound inside a per-keypoint kernel). Bucketed lax.switch: the
@@ -1122,14 +1170,26 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         # TPU-native analogue of the reference's indirect dispatch for
         # the XLA glue.
         from .orientation import peaks_from_histograms
-        in_cnt = jnp.arange(total_cap) < kcnt
-        hist = jnp.where(in_cnt[:, None], hist, 0.0)
+        in_cnt = live_k
+        if hist is not None:
+            hist = jnp.where(in_cnt[:, None], hist, 0.0)
 
         ksizes = _bucket_sizes(total_cap)
 
         def peaks_branch(k):
             def run():
-                o = peaks_from_histograms(hist[:k], ori_cap)
+                if hist is not None:
+                    hk = hist[:k]
+                else:
+                    # Sigma-split merge at the live bucket size: each live
+                    # keypoint is in exactly one bucket at rank < that
+                    # bucket's count, so garbage kernel rows are never
+                    # selected.
+                    hs = hist_s[jnp.clip(rank_s[:k], 0, total_cap - 1)]
+                    hb = hist_b[jnp.clip(rank_b[:k], 0, total_cap - 1)]
+                    hk = jnp.where(small[:k, None], hs, hb)
+                    hk = jnp.where(in_cnt[:k, None], hk, 0.0)
+                o = peaks_from_histograms(hk, ori_cap)
                 pad = ((0, total_cap - k), (0, 0))
                 return jnp.pad(o.angles, pad), jnp.pad(o.valid, pad)
             return run

@@ -115,6 +115,28 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
                 for dx in (-1, 0, 1):
                     slab[(l, b, dx)] = lat(l, b, dx)
 
+        # Separable 26-neighbor max/min: per-(layer,row) x-triple
+        # reductions and per-layer 3x3 reductions are shared across the
+        # center layers — ~25% fewer compare ops than the flat 26-term
+        # chains, bit-identical results (max/min are exactly
+        # associative/commutative).
+        rmax, rmin, lmax, lmin = {}, {}, {}, {}
+        if _ABLATE not in ("dmaonly",):
+            for l in range(ns):
+                for b in (0, 1, 2):
+                    rmax[(l, b)] = jnp.maximum(
+                        jnp.maximum(slab[(l, b, -1)], slab[(l, b, 0)]),
+                        slab[(l, b, 1)])
+                    rmin[(l, b)] = jnp.minimum(
+                        jnp.minimum(slab[(l, b, -1)], slab[(l, b, 0)]),
+                        slab[(l, b, 1)])
+                lmax[l] = jnp.maximum(jnp.maximum(rmax[(l, 0)],
+                                                  rmax[(l, 1)]),
+                                      rmax[(l, 2)])
+                lmin[l] = jnp.minimum(jnp.minimum(rmin[(l, 0)],
+                                                  rmin[(l, 1)]),
+                                      rmin[(l, 2)])
+
         codes = []
         counts = []
         for sc in range(1, s_layers + 1):
@@ -128,13 +150,18 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
                 cand = ((jnp.abs(ctr) > dog_threshold * 0.8)
                         & interior_x & interior_y)
             else:
-                mx = None
-                mn = None
-                for key, v in nb.items():
-                    if key == (1, 1, 1):
-                        continue
-                    mx = v if mx is None else jnp.maximum(mx, v)
-                    mn = v if mn is None else jnp.minimum(mn, v)
+                # center layer without the center cell: full rows above/
+                # below + the x-pair on the center row.
+                cmax = jnp.maximum(
+                    jnp.maximum(rmax[(sc, 0)], rmax[(sc, 2)]),
+                    jnp.maximum(slab[(sc, 1, -1)], slab[(sc, 1, 1)]))
+                cmin = jnp.minimum(
+                    jnp.minimum(rmin[(sc, 0)], rmin[(sc, 2)]),
+                    jnp.minimum(slab[(sc, 1, -1)], slab[(sc, 1, 1)]))
+                mx = jnp.maximum(jnp.maximum(lmax[sc - 1], lmax[sc + 1]),
+                                 cmax)
+                mn = jnp.minimum(jnp.minimum(lmin[sc - 1], lmin[sc + 1]),
+                                 cmin)
                 cand = ((jnp.abs(ctr) > dog_threshold * 0.8)
                         & ((ctr > mx) | (ctr < mn))
                         & interior_x & interior_y)

@@ -560,6 +560,17 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
     g_doff = seg(dog_off)
     g_w = seg([w for w, _ in oct_res])
     g_h = seg([h for _, h in oct_res])
+    # Keep the segment tables as RUNTIME values: without the barrier XLA
+    # constant-folds every downstream index chain (g_coff + f(g_chr,
+    # g_cwr, ...) per unrolled walk step) into materialized s32[K, 1]
+    # constants whose tiled layout pads the minor dim to 128 lanes —
+    # 8 MB of embedded executable bytes PER table (15 of them = 126 MB of
+    # the 208 MB program at 640x480; /tmp/xdump round-5 analysis). The
+    # concats themselves stay 1-D (64 KB) and the arithmetic costs ~10
+    # VPU ops on K elements.
+    (g_chr, g_cwr, g_fw, g_coff, g_doff, g_w, g_h,
+     oct_id) = jax.lax.optimization_barrier(
+        (g_chr, g_cwr, g_fw, g_coff, g_doff, g_w, g_h, oct_id))
 
     def code_at(rs, ry, rx):
         rxs = jnp.where(g_fw == 1, rx, rx - 1)

@@ -70,9 +70,45 @@ def _conv1d_symmetric(x: jax.Array, taps: np.ndarray, axis: int) -> jax.Array:
     return acc.astype(out_dtype)
 
 
+# Vertical blur via banded MXU matmul for octaves at least this tall
+# (v5e: 4.55 vs 7.38 ms per H+V 19-tap blur at 6912x4608,
+# results/hw_r5a/pyrbench2r.log). Below it the tile stack/transpose
+# overheads beat the VPU saving.
+_VBLUR_MATMUL_MIN_H = 1024
+_VBLUR_TILE = 256
+
+
+def _vconv_matmul(x: jax.Array, taps: np.ndarray) -> jax.Array:
+    """Vertical symmetric conv of (H, W) as one shared-selector banded
+    matmul over overlapping row tiles: out rows [t*T, (t+1)*T) =
+    B (T, T+2k) @ x rows [t*T - k, (t+1)*T + k). The VPU shift-MAC chain
+    costs ~4k ops/element while the MXU is idle; HIGHEST precision keeps
+    the result within f32-reassociation distance of the VPU pass (max
+    abs diff 2.4e-7 on N(0,1) data)."""
+    k = len(taps) - 1
+    full = np.concatenate([taps[:0:-1], taps]).astype(np.float32)
+    t_rows = _VBLUR_TILE
+    hp = x.shape[0]
+    nt = -(-hp // t_rows)
+    xp = jnp.pad(x, ((k, nt * t_rows + k - hp), (0, 0)), mode="symmetric")
+    tiles = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(xp, t * t_rows, t_rows + 2 * k, 0)
+        for t in range(nt)])                       # (nt, T+2k, W)
+    b = np.zeros((t_rows, t_rows + 2 * k), np.float32)
+    for o in range(t_rows):
+        b[o, o:o + 2 * k + 1] = full
+    out = jax.lax.dot_general(
+        jnp.asarray(b), tiles, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)       # (T, nt, W)
+    return out.transpose(1, 0, 2).reshape(nt * t_rows, -1)[:hp]
+
+
 def blur_separable(img: jax.Array, taps: np.ndarray) -> jax.Array:
     """Separable gaussian blur of (..., H, W) with a half-kernel."""
     img = _conv1d_symmetric(img, taps, axis=img.ndim - 1)  # horizontal
+    if (img.ndim == 2 and len(taps) > 1
+            and img.shape[0] >= _VBLUR_MATMUL_MIN_H and is_tpu_backend()):
+        return _vconv_matmul(img.astype(jnp.float32), taps).astype(img.dtype)
     img = _conv1d_symmetric(img, taps, axis=img.ndim - 2)  # vertical
     return img
 

@@ -77,11 +77,31 @@ def main():
                 acc += row3.sum(-1)
         return acc.sum()
 
+    def one27flat(d, rs, ry, rx):
+        # ALL 27 offsets in ONE gather op (the hypothesis: each gather op
+        # pays a source-size-scaled streaming cost, so fold the pass).
+        flat = d.reshape(-1)
+        idx = jnp.stack([((rs + a) * h + ry + b) * w + rx + c
+                         for a in (-1, 0, 1) for b in (-1, 0, 1)
+                         for c in (-1, 0, 1)])
+        return flat[idx].sum()
+
+    def one27view(d, rs, ry, rx):
+        d2 = d.reshape(ns * h, w)
+        rows = jnp.stack([(rs + a) * h + ry + b
+                          for a in (-1, 0, 1) for b in (-1, 0, 1)
+                          for c in (-1, 0, 1)])
+        cols = jnp.stack([rx + c
+                          for a in (-1, 0, 1) for b in (-1, 0, 1)
+                          for c in (-1, 0, 1)])
+        return d2[rows, cols].sum()
+
     fns = {n: jax.jit(f) for n, f in (
-        ("flat27", flat27), ("view27", view27), ("flat9", flat9))}
+        ("flat27", flat27), ("view27", view27), ("flat9", flat9),
+        ("one27flat", one27flat), ("one27view", one27view))}
 
     ref = float(fns["flat9"](d, rs, ry, rx))
-    for name in ("flat27", "view27"):
+    for name in ("flat27", "view27", "one27flat", "one27view"):
         got = float(fns[name](d, rs, ry, rx))
         assert abs(got - ref) < abs(ref) * 1e-4 + 1e-2, (name, got, ref)
 

@@ -68,28 +68,56 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
     s_layers = ns - 2  # center layers 1..ns-2
     wt = cw + 2 * halo  # tile width
 
-    def kernel(dog_ref, code_ref, counts_ref, blk, sem):
+    def kernel(dog_ref, code_ref, counts_ref, blk2, sems):
+        # Double-buffered input DMA across (sequential) grid steps: the
+        # serial start();wait() formulation stalled every 16-row step on
+        # DMA latency — a 5.26 ms "dmaonly" floor at 6912x4608 vs a
+        # ~1.3 ms HBM roofline (results/hw_r5a/frontbench_dmaonly.log).
+        # Scratch persists across TPU grid steps, so step t kicks off the
+        # fetch for t+1 into the other slot before computing on its own.
         if halo:
             step = pl.program_id(0)
             col = pl.program_id(1)
+            ncols = pl.num_programs(1)
+            t = step * ncols + col  # last grid dim varies fastest
+            total = pl.num_programs(0) * ncols
             c0 = col * cw  # into the halo-padded input
         else:
             step = pl.program_id(0)
             col = None
+            t = step
+            total = pl.num_programs(0)
             c0 = 0
         y0 = step * _BR  # first interior row of this block (y = y0 + 1 … )
 
-        # Halo block: rows [y0, y0 + _BR + 8) of every layer.
-        dma = pltpu.make_async_copy(
-            dog_ref.at[:, pl.ds(pl.multiple_of(y0, 8), _BR + 8),
-                       pl.ds(pl.multiple_of(c0, 128), wt)],
-            blk, sem)
-        dma.start()
-        dma.wait()
+        def get_dma(slot, tt):
+            # Halo block for linear step tt: rows [y0', y0' + _BR + 8).
+            if halo:
+                c0t = jax.lax.rem(tt, ncols) * cw
+                y0t = (tt // ncols) * _BR
+            else:
+                c0t = 0
+                y0t = tt * _BR
+            return pltpu.make_async_copy(
+                dog_ref.at[:, pl.ds(pl.multiple_of(y0t, 8), _BR + 8),
+                           pl.ds(pl.multiple_of(c0t, 128), wt)],
+                blk2.at[slot], sems.at[slot])
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():
+            get_dma(0, t).start()
+
+        @pl.when(t + 1 < total)
+        def _():
+            get_dma(1 - slot, t + 1).start()
+
+        get_dma(slot, t).wait()
 
         # Lane-shifted variants per layer (x-1, x, x+1).
         def lat(l, dy, dx):
-            rows = blk[l, pl.ds(dy, _BR), :]          # (BR, wt)
+            rows = blk2[slot, l, pl.ds(dy, _BR), :]   # (BR, wt)
             if dx == 0:
                 return rows
             return pltpu.roll(rows, (-dx) % wt, 1)
@@ -319,8 +347,8 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
                 jax.ShapeDtypeStruct((hr, s_layers, nblk), jnp.int32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((ns, _BR + 8, w), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, ns, _BR + 8, w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )(d)
         if fs < nsteps:
@@ -383,8 +411,8 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
                                      jnp.int32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((ns, _BR + 8, cw + 2 * halo), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, ns, _BR + 8, cw + 2 * halo), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )(d)
         # Strip the 128-lane per-tile padding back to the real blocks.

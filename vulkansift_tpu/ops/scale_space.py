@@ -76,6 +76,38 @@ def _conv1d_symmetric(x: jax.Array, taps: np.ndarray, axis: int) -> jax.Array:
 # overheads beat the VPU saving.
 _VBLUR_MATMUL_MIN_H = 1024
 _VBLUR_TILE = 256
+# Horizontal blur via lane-tiled banded MXU matmul for octaves at least
+# this wide (v5e: H+V all-MXU 4.43 vs 4.81 ms with the VPU H-pass at
+# 6912x4608, results/hw_r5a/pyrbench3.log). Narrower widths are
+# unmeasured, so the bar sits at the measured regime.
+_HBLUR_MATMUL_MIN_W = 6144
+_HBLUR_TILE = 512
+
+
+def _hconv_matmul(x: jax.Array, taps: np.ndarray) -> jax.Array:
+    """Horizontal symmetric conv of (H, W) as one shared-selector banded
+    matmul over overlapping 128-haloed lane tiles: out cols [t*T, (t+1)*T)
+    = x cols [t*T - 128, (t+1)*T + 128) @ B (T+256, T). The 128 halo keeps
+    every tile slice lane-aligned (any k <= 128); HIGHEST precision keeps
+    the result within f32-reassociation distance of the VPU shift-MAC
+    pass (max abs diff 2.4e-7 on N(0,1) data)."""
+    k = len(taps) - 1
+    full = np.concatenate([taps[:0:-1], taps]).astype(np.float32)
+    t_cols = _HBLUR_TILE
+    h, w = x.shape
+    nt = -(-w // t_cols)
+    xp = jnp.pad(x, ((0, 0), (128, nt * t_cols + 128 - w)),
+                 mode="symmetric")
+    tiles = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(xp, t * t_cols, t_cols + 256, 1)
+        for t in range(nt)])                       # (nt, H, T+256)
+    b = np.zeros((t_cols + 256, t_cols), np.float32)
+    for o in range(t_cols):
+        b[o + 128 - k:o + 128 + k + 1, o] = full
+    out = jax.lax.dot_general(
+        tiles, jnp.asarray(b), (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)       # (nt, H, T)
+    return out.transpose(1, 0, 2).reshape(h, nt * t_cols)[:, :w]
 
 
 def _vconv_matmul(x: jax.Array, taps: np.ndarray) -> jax.Array:
@@ -105,9 +137,22 @@ def _vconv_matmul(x: jax.Array, taps: np.ndarray) -> jax.Array:
 
 def blur_separable(img: jax.Array, taps: np.ndarray) -> jax.Array:
     """Separable gaussian blur of (..., H, W) with a half-kernel."""
-    img = _conv1d_symmetric(img, taps, axis=img.ndim - 1)  # horizontal
-    if (img.ndim == 2 and len(taps) > 1
-            and img.shape[0] >= _VBLUR_MATMUL_MIN_H and is_tpu_backend()):
+    import os
+    # The banded-MXU H/V conv formulations win ISOLATED layer A/Bs
+    # (results/hw_r5a/pyrbench2r.log, pyrbench3.log) but LOSE inside the
+    # full pipeline, where the blur otherwise fuses into the in-place
+    # octave-stack writes: pyramid 27.3 vs 22.4 ms at 3456x2304 and 2.74
+    # vs 2.07 at 1536x1024 (results/hw_r5b/stagebench_*). Opt-in only,
+    # kept for re-evaluation on other TPU generations.
+    mxu_ok = (img.ndim == 2 and len(taps) > 1 and len(taps) <= 129
+              and is_tpu_backend())
+    if (mxu_ok and img.shape[1] >= _HBLUR_MATMUL_MIN_W
+            and os.environ.get("VKSIFT_HBLUR_MATMUL") == "1"):
+        img = _hconv_matmul(img.astype(jnp.float32), taps)
+    else:
+        img = _conv1d_symmetric(img, taps, axis=img.ndim - 1)  # horizontal
+    if (mxu_ok and img.shape[0] >= _VBLUR_MATMUL_MIN_H
+            and os.environ.get("VKSIFT_VBLUR_MATMUL") == "1"):
         return _vconv_matmul(img.astype(jnp.float32), taps).astype(img.dtype)
     img = _conv1d_symmetric(img, taps, axis=img.ndim - 2)  # vertical
     return img

@@ -103,144 +103,170 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
                            pl.ds(pl.multiple_of(c0t, 128), wt)],
                 blk2.at[slot], sems.at[slot])
 
-        slot = jax.lax.rem(t, 2)
-
-        @pl.when(t == 0)
-        def _():
+        # Perf A/B knob (read per trace, not baked at import):
+        # VKSIFT_FRONTEND_DB=0 reverts to the serial start/wait DMA.
+        if _os.environ.get("VKSIFT_FRONTEND_DB", "1") == "0":
+            slot = jnp.int32(0)
             get_dma(0, t).start()
-
-        @pl.when(t + 1 < total)
-        def _():
-            get_dma(1 - slot, t + 1).start()
-
-        get_dma(slot, t).wait()
-
-        # Lane-shifted variants per layer (x-1, x, x+1).
-        def lat(l, dy, dx):
-            rows = blk2[slot, l, pl.ds(dy, _BR), :]   # (BR, wt)
-            if dx == 0:
-                return rows
-            return pltpu.roll(rows, (-dx) % wt, 1)
-
-        jj = jax.lax.broadcasted_iota(jnp.int32, (_BR, wt), 1)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (_BR, wt), 0)
-        if halo:
-            # Global x of lane jj is c0 + jj - halo; the tile's interior
-            # band is jj in [halo, halo + cw).
-            gx = c0 + jj - halo
-            interior_x = ((gx >= 1) & (gx <= w_true - 2)
-                          & (jj >= halo) & (jj < halo + cw))
+            get_dma(0, t).wait()
         else:
-            interior_x = (jj >= 1) & (jj <= w_true - 2)
-        interior_y = (y0 + 1 + ii) <= h - 2
+            slot = jax.lax.rem(t, 2)
 
-        # Shift slabs once per (layer, dy, dx): adjacent center layers
-        # share 2/3 of their 27-neighborhoods, and Mosaic does not CSE
-        # the pltpu.roll chains across the sc loop (ablation-measured).
-        slab = {}
-        for l in range(ns):
-            for b in (0, 1, 2):
-                for dx in (-1, 0, 1):
-                    slab[(l, b, dx)] = lat(l, b, dx)
+            @pl.when(t == 0)
+            def _():
+                get_dma(0, t).start()
 
-        # Separable 26-neighbor max/min: per-(layer,row) x-triple
-        # reductions and per-layer 3x3 reductions are shared across the
-        # center layers — ~25% fewer compare ops than the flat 26-term
-        # chains, bit-identical results (max/min are exactly
-        # associative/commutative).
-        rmax, rmin, lmax, lmin = {}, {}, {}, {}
-        if _ABLATE not in ("dmaonly",):
+            @pl.when(t + 1 < total)
+            def _():
+                get_dma(1 - slot, t + 1).start()
+
+            get_dma(slot, t).wait()
+
+        def body(bref):
+            # The whole compute body is instantiated once per STATIC slot
+            # (under pl.when below): reading the scratch with a traced
+            # slot index (`blk2[slot, ...]`) defeated Mosaic's view
+            # lowering of the 45 slab reads and measured +13 ms at
+            # 6912x4608 (results/hw_r5b/stagebench_3456_novblur.log).
+
+            # Lane-shifted variants per layer (x-1, x, x+1).
+            def lat(l, dy, dx):
+                rows = bref[l, pl.ds(dy, _BR), :]     # (BR, wt)
+                if dx == 0:
+                    return rows
+                return pltpu.roll(rows, (-dx) % wt, 1)
+
+            jj = jax.lax.broadcasted_iota(jnp.int32, (_BR, wt), 1)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (_BR, wt), 0)
+            if halo:
+                # Global x of lane jj is c0 + jj - halo; the tile's
+                # interior band is jj in [halo, halo + cw).
+                gx = c0 + jj - halo
+                interior_x = ((gx >= 1) & (gx <= w_true - 2)
+                              & (jj >= halo) & (jj < halo + cw))
+            else:
+                interior_x = (jj >= 1) & (jj <= w_true - 2)
+            interior_y = (y0 + 1 + ii) <= h - 2
+
+            # Shift slabs once per (layer, dy, dx): adjacent center
+            # layers share 2/3 of their 27-neighborhoods, and Mosaic does
+            # not CSE the pltpu.roll chains across the sc loop
+            # (ablation-measured).
+            slab = {}
             for l in range(ns):
                 for b in (0, 1, 2):
-                    rmax[(l, b)] = jnp.maximum(
-                        jnp.maximum(slab[(l, b, -1)], slab[(l, b, 0)]),
-                        slab[(l, b, 1)])
-                    rmin[(l, b)] = jnp.minimum(
-                        jnp.minimum(slab[(l, b, -1)], slab[(l, b, 0)]),
-                        slab[(l, b, 1)])
-                lmax[l] = jnp.maximum(jnp.maximum(rmax[(l, 0)],
-                                                  rmax[(l, 1)]),
-                                      rmax[(l, 2)])
-                lmin[l] = jnp.minimum(jnp.minimum(rmin[(l, 0)],
-                                                  rmin[(l, 1)]),
-                                      rmin[(l, 2)])
+                    for dx in (-1, 0, 1):
+                        slab[(l, b, dx)] = lat(l, b, dx)
 
-        codes = []
-        counts = []
-        for sc in range(1, s_layers + 1):
-            nb = {}
-            for a in (0, 1, 2):
-                for b in (0, 1, 2):
-                    for c in (0, 1, 2):
-                        nb[(a, b, c)] = slab[(sc - 1 + a, b, c - 1)]
-            ctr = nb[(1, 1, 1)]
-            if _ABLATE == "dmaonly":
-                cand = ((jnp.abs(ctr) > dog_threshold * 0.8)
-                        & interior_x & interior_y)
-            else:
-                # center layer without the center cell: full rows above/
-                # below + the x-pair on the center row.
-                cmax = jnp.maximum(
-                    jnp.maximum(rmax[(sc, 0)], rmax[(sc, 2)]),
-                    jnp.maximum(slab[(sc, 1, -1)], slab[(sc, 1, 1)]))
-                cmin = jnp.minimum(
-                    jnp.minimum(rmin[(sc, 0)], rmin[(sc, 2)]),
-                    jnp.minimum(slab[(sc, 1, -1)], slab[(sc, 1, 1)]))
-                mx = jnp.maximum(jnp.maximum(lmax[sc - 1], lmax[sc + 1]),
-                                 cmax)
-                mn = jnp.minimum(jnp.minimum(lmin[sc - 1], lmin[sc + 1]),
-                                 cmin)
-                cand = ((jnp.abs(ctr) > dog_threshold * 0.8)
-                        & ((ctr > mx) | (ctr < mn))
-                        & interior_x & interior_y)
+            # Separable 26-neighbor max/min: per-(layer,row) x-triple
+            # reductions and per-layer 3x3 reductions are shared across
+            # the center layers — ~25% fewer compare ops than the flat
+            # 26-term chains, bit-identical results (max/min are exactly
+            # associative/commutative).
+            rmax, rmin, lmax, lmin = {}, {}, {}, {}
+            if _ABLATE not in ("dmaonly",):
+                for l in range(ns):
+                    for b in (0, 1, 2):
+                        rmax[(l, b)] = jnp.maximum(
+                            jnp.maximum(slab[(l, b, -1)], slab[(l, b, 0)]),
+                            slab[(l, b, 1)])
+                        rmin[(l, b)] = jnp.minimum(
+                            jnp.minimum(slab[(l, b, -1)], slab[(l, b, 0)]),
+                            slab[(l, b, 1)])
+                    lmax[l] = jnp.maximum(jnp.maximum(rmax[(l, 0)],
+                                                      rmax[(l, 1)]),
+                                          rmax[(l, 2)])
+                    lmin[l] = jnp.minimum(jnp.minimum(rmin[(l, 0)],
+                                                      rmin[(l, 1)]),
+                                          rmin[(l, 2)])
 
-            if _ABLATE in ("nonewton", "dmaonly"):
-                # Triage arms: walk code degenerates to "converged here".
-                code = (_CODE_CONV + 13
-                        + _CODE_CAND * cand.astype(jnp.int32))
-            else:
-                off_s, off_x, off_y, _, _, _, singular = _newton_step(
-                    *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
-                      for c in (0, 1, 2)])
-                conv = ((jnp.abs(off_x) < 0.6) & (jnp.abs(off_y) < 0.6)
-                        & (jnp.abs(off_s) < 0.6))
+            codes = []
+            counts = []
+            for sc in range(1, s_layers + 1):
+                nb = {}
+                for a in (0, 1, 2):
+                    for b in (0, 1, 2):
+                        for c in (0, 1, 2):
+                            nb[(a, b, c)] = slab[(sc - 1 + a, b, c - 1)]
+                ctr = nb[(1, 1, 1)]
+                if _ABLATE == "dmaonly":
+                    cand = ((jnp.abs(ctr) > dog_threshold * 0.8)
+                            & interior_x & interior_y)
+                else:
+                    # center layer without the center cell: full rows
+                    # above/below + the x-pair on the center row.
+                    cmax = jnp.maximum(
+                        jnp.maximum(rmax[(sc, 0)], rmax[(sc, 2)]),
+                        jnp.maximum(slab[(sc, 1, -1)], slab[(sc, 1, 1)]))
+                    cmin = jnp.minimum(
+                        jnp.minimum(rmin[(sc, 0)], rmin[(sc, 2)]),
+                        jnp.minimum(slab[(sc, 1, -1)], slab[(sc, 1, 1)]))
+                    mx = jnp.maximum(
+                        jnp.maximum(lmax[sc - 1], lmax[sc + 1]), cmax)
+                    mn = jnp.minimum(
+                        jnp.minimum(lmin[sc - 1], lmin[sc + 1]), cmin)
+                    cand = ((jnp.abs(ctr) > dog_threshold * 0.8)
+                            & ((ctr > mx) | (ctr < mn))
+                            & interior_x & interior_y)
 
-                def sign_code(off):
-                    return jnp.where(off >= 0.6, 2,
-                                     jnp.where(off <= -0.6, 0, 1))
+                if _ABLATE in ("nonewton", "dmaonly"):
+                    # Triage arms: walk code degenerates to "converged
+                    # here".
+                    code = (_CODE_CONV + 13
+                            + _CODE_CAND * cand.astype(jnp.int32))
+                else:
+                    off_s, off_x, off_y, _, _, _, singular = _newton_step(
+                        *[nb[(a, b, c)] for a in (0, 1, 2)
+                          for b in (0, 1, 2) for c in (0, 1, 2)])
+                    conv = ((jnp.abs(off_x) < 0.6) & (jnp.abs(off_y) < 0.6)
+                            & (jnp.abs(off_s) < 0.6))
 
-                code = (sign_code(off_s) + 3 * sign_code(off_x)
-                        + 9 * sign_code(off_y)
-                        + _CODE_CONV * conv.astype(jnp.int32)
-                        + _CODE_SING * singular.astype(jnp.int32)
-                        + _CODE_CAND * cand.astype(jnp.int32))
+                    def sign_code(off):
+                        return jnp.where(off >= 0.6, 2,
+                                         jnp.where(off <= -0.6, 0, 1))
+
+                    code = (sign_code(off_s) + 3 * sign_code(off_x)
+                            + 9 * sign_code(off_y)
+                            + _CODE_CONV * conv.astype(jnp.int32)
+                            + _CODE_SING * singular.astype(jnp.int32)
+                            + _CODE_CAND * cand.astype(jnp.int32))
+                if halo:
+                    code = code[:, halo:halo + cw]
+                    cand = cand[:, halo:halo + cw]
+                cw_eff = cw if halo else w
+                codes.append(code.astype(jnp.uint8).reshape(1, _BR, cw_eff))
+                # Per-128-lane-block candidate counts via one tiny MXU
+                # matmul (cand @ block-membership one-hot): they turn the
+                # global rank-select into a 3-level search whose big
+                # gather is one 128-lane block per candidate instead of a
+                # full image row.
+                nblk = cw_eff // 128
+                bi = jax.lax.broadcasted_iota(jnp.int32, (cw_eff, nblk), 0)
+                bj = jax.lax.broadcasted_iota(jnp.int32, (cw_eff, nblk), 1)
+                bm = (bi // 128 == bj).astype(jnp.bfloat16)
+                cb = jax.lax.dot_general(
+                    cand.astype(jnp.bfloat16), bm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (BR, nblk)
+                counts.append(cb.astype(jnp.int32).reshape(_BR, 1, nblk))
+
+            code_ref[:] = jnp.concatenate(codes, axis=0)   # (S, BR, cw|w)
+            cb_all = jnp.concatenate(counts, axis=1)       # (BR, S, nblk)
             if halo:
-                code = code[:, halo:halo + cw]
-                cand = cand[:, halo:halo + cw]
-            cw_eff = cw if halo else w
-            codes.append(code.astype(jnp.uint8).reshape(1, _BR, cw_eff))
-            # Per-128-lane-block candidate counts via one tiny MXU matmul
-            # (cand @ block-membership one-hot): they turn the global
-            # rank-select into a 3-level search whose big gather is one
-            # 128-lane block per candidate instead of a full image row.
-            nblk = cw_eff // 128
-            bi = jax.lax.broadcasted_iota(jnp.int32, (cw_eff, nblk), 0)
-            bj = jax.lax.broadcasted_iota(jnp.int32, (cw_eff, nblk), 1)
-            bm = (bi // 128 == bj).astype(jnp.bfloat16)
-            cb = jax.lax.dot_general(
-                cand.astype(jnp.bfloat16), bm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (BR, nblk)
-            counts.append(cb.astype(jnp.int32).reshape(_BR, 1, nblk))
+                # Mosaic requires the output block's lane dim be
+                # 128-divisible (or the full array dim): pad the per-tile
+                # block counts to a 128-lane block; the caller slices the
+                # real nblk back out.
+                cb_all = jnp.pad(
+                    cb_all, ((0, 0), (0, 0), (0, 128 - cb_all.shape[2])))
+            counts_ref[:] = cb_all
 
-        code_ref[:] = jnp.concatenate(codes, axis=0)   # (S, BR, cw|w)
-        cb_all = jnp.concatenate(counts, axis=1)       # (BR, S, nblk)
-        if halo:
-            # Mosaic requires the output block's lane dim be 128-divisible
-            # (or the full array dim): pad the per-tile block counts to a
-            # 128-lane block; the caller slices the real nblk back out.
-            cb_all = jnp.pad(
-                cb_all, ((0, 0), (0, 0), (0, 128 - cb_all.shape[2])))
-        counts_ref[:] = cb_all
+        @pl.when(slot == 0)
+        def _():
+            body(blk2.at[0])
+
+        @pl.when(slot == 1)
+        def _():
+            body(blk2.at[1])
 
     return kernel
 

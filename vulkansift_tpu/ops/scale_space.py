@@ -327,24 +327,44 @@ def build_pyramid(
     # in-place stack write. The previous jnp.stack(...) formulation
     # materialized every layer standalone AND re-copied it into the stack
     # (~10 ms/frame of pure copies at 3456x2304, round-5 trace).
+    import os as _os2
+    inplace = _os2.environ.get("VKSIFT_PYR_INPLACE", "1") != "0"
     for o, (h, w) in enumerate(octave_shapes):
         if o > 0:
             base = downsample2x_nearest(base_top, h, w)
-        gs = jnp.zeros((s + 3, h, w), jnp.float32)
-        ds = jnp.zeros((s + 2, h, w), jnp.float32)
-        gs = jax.lax.dynamic_update_slice(gs, base[None], (0, 0, 0))
-        prev = base
-        base_top = None
-        for i in range(1, s + 3):
-            y, dg = _blur(prev, kernels[i], with_dog=True)
-            gs = jax.lax.dynamic_update_slice(gs, y[None], (i, 0, 0))
-            ds = jax.lax.dynamic_update_slice(ds, dg[None], (i - 1, 0, 0))
-            # Read the layer back from the stack (a fusable strided read)
-            # instead of keeping the standalone blur output alive — the
-            # standalone tensor would force a second materialization.
-            prev = jax.lax.dynamic_slice(gs, (i, 0, 0), (1, h, w))[0]
-            if i == s:
-                base_top = prev  # f32 seed for the next octave
+        if inplace:
+            gs = jnp.zeros((s + 3, h, w), jnp.float32)
+            ds = jnp.zeros((s + 2, h, w), jnp.float32)
+            gs = jax.lax.dynamic_update_slice(gs, base[None], (0, 0, 0))
+            prev = base
+            base_top = None
+            for i in range(1, s + 3):
+                y, dg = _blur(prev, kernels[i], with_dog=True)
+                gs = jax.lax.dynamic_update_slice(gs, y[None], (i, 0, 0))
+                ds = jax.lax.dynamic_update_slice(ds, dg[None],
+                                                  (i - 1, 0, 0))
+                # Read the layer back from the stack (a fusable strided
+                # read) instead of keeping the standalone blur output
+                # alive — the standalone tensor would force a second
+                # materialization.
+                prev = jax.lax.dynamic_slice(gs, (i, 0, 0), (1, h, w))[0]
+                if i == s:
+                    base_top = prev  # f32 seed for the next octave
+        else:
+            # A/B fallback (VKSIFT_PYR_INPLACE=0): standalone layers +
+            # jnp.stack, the pre-b28f250 formulation.
+            layers = [base]
+            dlayers = []
+            prev = base
+            for i in range(1, s + 3):
+                y, dg = _blur(prev, kernels[i], with_dog=True)
+                layers.append(y)
+                dlayers.append(dg)
+                prev = y
+                if i == s:
+                    base_top = y
+            gs = jnp.stack(layers)
+            ds = jnp.stack(dlayers)
         gaussians.append(gs.astype(dtype))
         dogs.append(ds.astype(dtype))
 

@@ -345,6 +345,7 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
     # layout-copy companion in the round-4 trace).
     fs = min(nsteps, max(0, (h - 8) // _BR))
     d_orig = d
+    lane_tile = None  # column-tiled path: real blocks per 128-lane tile
 
     if w <= max_single_w:
         # Single column tile: whole rows stream through VMEM.
@@ -441,13 +442,18 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )(d)
-        # Strip the 128-lane per-tile padding back to the real blocks.
-        counts = counts_p.reshape(hr, s_layers, ncols, 128)[
-            ..., :cblk].reshape(hr, s_layers, ncols * cblk)
+        # The per-tile block counts stay in the kernel's 128-lane-padded
+        # (hr, S, ncols*128) layout — stripping the padding with a
+        # reshape+slice relayouted 21 MB and cost 1.9 ms/frame at
+        # 3456x2304 (round-5 trace, reshape.62). The pad lanes are zero,
+        # so the row sums and block cumsums below are unchanged; only the
+        # final block index needs the padded->real remap (lane_tile).
+        counts = counts_p
+        lane_tile = cblk
         if fs < nsteps:
             ts = fs * _BR
-            # The tail works on the unpadded stack; lane-pad its outputs
-            # to the tiled width.
+            # The tail works on the unpadded stack; re-tile its real
+            # blocks into the kernel's padded layout.
             wt128 = -(-w_true // 128) * 128
             code_t, counts_t = _tail_rows(d_orig, ts, h, w_true, wt128,
                                           dog_threshold)
@@ -455,8 +461,12 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
             code_t = jnp.pad(code_t, ((0, 0), (0, 0),
                                       (0, wp - wt128)))
             counts_t = jnp.pad(
-                counts_t, ((0, hr - ts - rows_t), (0, 0),
-                           (0, (wp - wt128) // 128)))
+                counts_t, ((0, 0), (0, 0),
+                           (0, ncols * cblk - wt128 // 128)))
+            counts_t = jnp.pad(
+                counts_t.reshape(rows_t, s_layers, ncols, cblk),
+                ((0, hr - ts - rows_t), (0, 0), (0, 0), (0, 128 - cblk))
+            ).reshape(hr - ts, s_layers, ncols * 128)
             code = jax.lax.dynamic_update_slice(code, code_t, (0, ts, 0))
             counts = jax.lax.dynamic_update_slice(counts, counts_t,
                                                   (ts, 0, 0))
@@ -498,16 +508,23 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
             yy = row % hr                                # interior row idx
 
             # Row rank -> lane block (2-D indexing: no transpose
-            # materialization).
-            cb = counts[yy, sc]                          # (kb, nblk)
+            # materialization). ``counts`` may be in the column-tiled
+            # kernel's 128-lane-padded layout (zero pad lanes -> cumsum
+            # plateaus, so the strict-less search still lands on the
+            # real block; only the final index needs the remap below).
+            cb = counts[yy, sc]                      # (kb, nblk | nc*128)
             cs_b = jnp.cumsum(cb, axis=1)
             blk = jnp.sum(cs_b < within[:, None], axis=1, dtype=jnp.int32)
-            blk = jnp.clip(blk, 0, nblk - 1)
+            blk = jnp.clip(blk, 0, counts.shape[2] - 1)
             base_b = jnp.where(
                 blk > 0,
                 jnp.take_along_axis(cs_b, jnp.maximum(blk - 1, 0)[:, None],
                                     axis=1)[:, 0], 0)
             within_b = within - base_b
+            if lane_tile is not None:
+                # Padded block index (tile*128 + b) -> real (tile*cblk+b).
+                blk = (blk // 128) * lane_tile + jax.lax.rem(blk, 128)
+            blk = jnp.clip(blk, 0, nblk - 1)
 
             # Block rank -> lane.
             blk128 = code_blocks[row, blk]               # (kb, 128)

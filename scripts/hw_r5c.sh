@@ -24,9 +24,11 @@ VKSIFT_BLUR_KERNEL=1 step stagebench_3456_blurk \
 VKSIFT_PYR_INPLACE=0 step stagebench_3456_noinplace \
   python scripts/stagebench.py 3456x2304 4
 
-# 1536: fresh default + post-barrier-fix global-refine arm
+# 1536: fresh default + post-barrier-fix global-refine arm + ori-split A/B
 step stagebench_1536_default python scripts/stagebench.py 1536x1024 10
 VKSIFT_GLOBAL_REFINE_MAX_CELLS=100000000 step stagebench_1536_globalref \
+  python scripts/stagebench.py 1536x1024 10
+VKSIFT_ORI_SPLIT=0 step stagebench_1536_nosplit \
   python scripts/stagebench.py 1536x1024 10
 
 # Frontend kernel isolated: double-buffer vs serial (same static-slot body)

@@ -251,6 +251,50 @@ def _newton_step(n000, n001, n002, n010, n011, n012, n020, n021, n022,
     return off_s, off_x, off_y, g_s, g_x, g_y, singular
 
 
+def _walk_classify(n000, n001, n002, n010, n011, n012, n020, n021, n022,
+                   n100, n101, n102, n110, n111, n112, n120, n121, n122,
+                   n200, n201, n202, n210, n211, n212, n220, n221, n222):
+    """Walk-code classification WITHOUT the reciprocal/inverse: the walk
+    only needs each Newton offset classified into {<= -0.6, interior,
+    >= 0.6}, and Cramer gives off_i = det_i / det — so compare the
+    numerators det_i (sign-corrected by det) against 0.6*|det| directly.
+    Saves the VPU-multipass reciprocal and the 6 inverse-entry products
+    of :func:`_newton_step` over every dense cell. Returns (cs, cx, cy,
+    conv, singular) with c* in {0, 1, 2} (the move-sign codes)."""
+    g_s = 0.5 * (n211 - n011)
+    g_x = 0.5 * (n112 - n110)
+    g_y = 0.5 * (n121 - n101)
+    ctr = n111
+    h11 = n211 + n011 - 2.0 * ctr
+    h22 = n112 + n110 - 2.0 * ctr
+    h33 = n121 + n101 - 2.0 * ctr
+    h12 = 0.25 * (n212 - n210 - n012 + n010)
+    h13 = 0.25 * (n221 - n201 - n021 + n001)
+    h23 = 0.25 * (n122 - n120 - n102 + n100)
+
+    m11 = h22 * h33 - h23 * h23
+    m12 = h12 * h33 - h13 * h23
+    m13 = h12 * h23 - h13 * h22
+    det = h11 * m11 - h12 * m12 + h13 * m13
+    singular = det == 0.0
+    # off_s*det, off_x*det, off_y*det (Cramer numerators of H off = -g).
+    num_s = -g_s * m11 + g_x * m12 - g_y * m13
+    num_x = (g_s * m12 - g_x * (h11 * h33 - h13 * h13)
+             + g_y * (h11 * h23 - h13 * h12))
+    num_y = (-g_s * m13 + g_x * (h11 * h23 - h12 * h13)
+             - g_y * (h11 * h22 - h12 * h12))
+    thr = 0.6 * jnp.abs(det)
+    neg = det < 0.0
+
+    def cls(num):
+        n = jnp.where(neg, -num, num)   # sign-corrected numerator
+        return jnp.where(n >= thr, 2, jnp.where(n <= -thr, 0, 1))
+
+    cs, cx, cy = cls(num_s), cls(num_x), cls(num_y)
+    conv = (cs == 1) & (cx == 1) & (cy == 1)
+    return cs, cx, cy, conv, singular
+
+
 def _dense_walk_code(dog: jax.Array) -> jax.Array:
     """Per-interior-cell walk code: move signs (|off| >= 0.6 per axis),
     convergence, and Hessian-singularity, packed into one int8."""
@@ -263,17 +307,10 @@ def _dense_walk_code(dog: jax.Array) -> jax.Array:
 
     nb = {(a, b, c): sl(a - 1, b - 1, c - 1)
           for a in (0, 1, 2) for b in (0, 1, 2) for c in (0, 1, 2)}
-    off_s, off_x, off_y, _, _, _, singular = _newton_step(
+    cs, cx, cy, conv, singular = _walk_classify(
         *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
           for c in (0, 1, 2)])
-
-    conv = ((jnp.abs(off_x) < 0.6) & (jnp.abs(off_y) < 0.6)
-            & (jnp.abs(off_s) < 0.6))
-
-    def sign_code(off):
-        return jnp.where(off >= 0.6, 2, jnp.where(off <= -0.6, 0, 1))
-
-    code = (sign_code(off_s) + 3 * sign_code(off_x) + 9 * sign_code(off_y)
+    code = (cs + 3 * cx + 9 * cy
             + _CODE_CONV * conv.astype(jnp.int32)
             + _CODE_SING * singular.astype(jnp.int32))
     return code.astype(jnp.int8)

@@ -1120,7 +1120,8 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
         edge_small = ori_window_edge(_sigma_max(config, t_ori_small))
         geom_small = _KernelGeom(wr=_window_rows(edge_small), wc=256,
                                  h8=h_atlas, w32=w_atlas)
-        ori_split = geom_small.wr < ori_geom.wr
+        ori_split = (geom_small.wr < ori_geom.wr
+                     and os.environ.get("VKSIFT_ORI_SPLIT", "1") != "0")
         # OPT-IN only: the hardware A/B (results/remeasure_r3s2, v5e)
         # measured the packed histogram kernel at 3.73 ms in-program vs
         # 0.69 ms for the unpacked kernel in isolation at the same

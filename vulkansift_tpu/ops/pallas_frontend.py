@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .extract import (_CODE_CONV, _CODE_SING, _newton_step, bucket_sizes,
+from .extract import (_CODE_CONV, _CODE_SING, _walk_classify, bucket_sizes,
                       Candidates, rank_select)
 
 _CODE_CAND = 128  # candidate bit (u8; walk code occupies [0, 107])
@@ -215,18 +215,12 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
                     code = (_CODE_CONV + 13
                             + _CODE_CAND * cand.astype(jnp.int32))
                 else:
-                    off_s, off_x, off_y, _, _, _, singular = _newton_step(
+                    # Division-free walk classification (Cramer
+                    # numerators vs 0.6*|det| — see extract._walk_classify)
+                    cs_c, cx_c, cy_c, conv, singular = _walk_classify(
                         *[nb[(a, b, c)] for a in (0, 1, 2)
                           for b in (0, 1, 2) for c in (0, 1, 2)])
-                    conv = ((jnp.abs(off_x) < 0.6) & (jnp.abs(off_y) < 0.6)
-                            & (jnp.abs(off_s) < 0.6))
-
-                    def sign_code(off):
-                        return jnp.where(off >= 0.6, 2,
-                                         jnp.where(off <= -0.6, 0, 1))
-
-                    code = (sign_code(off_s) + 3 * sign_code(off_x)
-                            + 9 * sign_code(off_y)
+                    code = (cs_c + 3 * cx_c + 9 * cy_c
                             + _CODE_CONV * conv.astype(jnp.int32)
                             + _CODE_SING * singular.astype(jnp.int32)
                             + _CODE_CAND * cand.astype(jnp.int32))
@@ -281,7 +275,7 @@ def _tail_rows(d, ts: int, h: int, w_true: int, wp: int,
     full-width ``wp`` like the kernel's: code u8 (S, rows_t, wp) and
     counts i32 (rows_t, S, wp // 128), row r <-> image row y = ts+1+r
     (the kernel's global row y-1 indexing). Semantics must match the
-    kernel exactly: same walk code (shared _newton_step path via
+    kernel exactly: same walk code (shared _walk_classify path via
     _dense_walk_code) and same strict 26-neighbor extremum test with the
     0.8*threshold pre-filter (ExtractKeypoints.comp:57-116)."""
     from .extract import _dense_walk_code

@@ -30,6 +30,8 @@ VKSIFT_GLOBAL_REFINE_MAX_CELLS=100000000 step stagebench_1536_globalref \
   python scripts/stagebench.py 1536x1024 10
 VKSIFT_ORI_SPLIT=0 step stagebench_1536_nosplit \
   python scripts/stagebench.py 1536x1024 10
+VKSIFT_BLUR_KERNEL=1 step stagebench_1536_blurk \
+  python scripts/stagebench.py 1536x1024 10
 
 # Frontend kernel isolated: double-buffer vs serial (same static-slot body)
 step frontbench_db1 python scripts/frontbench.py 6912x4608 4

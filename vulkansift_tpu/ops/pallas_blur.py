@@ -70,19 +70,101 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
     RIN = R + 2 * _K8
     WB = WT + 2 * CH          # DMA'd block width (== W when CH == 0)
 
-    def kernel(x_hbm, y_hbm, dog_hbm, xv, yv, dogv, sems):
-        t = pl.program_id(0)
+    def kernel(x_hbm, y_hbm, dog_hbm, xv2, yv2, dogv2, sin, sy, sd):
+        # Double-buffered across (sequential) grid steps: the serial
+        # start/wait input + end-of-step output drain left every step
+        # stalled on DMA latency (the whole-kernel pyramid measured
+        # 22.4 ms at 3456x2304 vs a ~5 ms HBM roofline). Step t
+        # prefetches t+1's input into the other slot and defers each
+        # output drain until that slot is next written (t+2) or the
+        # final step.
+        ti = pl.program_id(0)
         col = pl.program_id(1)
-        row0 = jnp.minimum(t * R, H - R)
-        ystart = jnp.clip(row0 - _K8, 0, H - RIN)
-        col0 = jnp.minimum(col * WT, W - WT)
-        cstart = jnp.clip(col0 - CH, 0, W - WB)
-        cin = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pl.multiple_of(ystart, 8), RIN),
-                     pl.ds(pl.multiple_of(cstart, 128), WB)],
-            xv, sems.at[0])
-        cin.start()
-        cin.wait()
+        ncols = pl.num_programs(1)
+        t = ti * ncols + col          # last grid dim varies fastest
+        total = pl.num_programs(0) * ncols
+
+        def geom_at(tt):
+            r0 = jnp.minimum((tt // ncols) * R, H - R)
+            ys = jnp.clip(r0 - _K8, 0, H - RIN)
+            c0_ = jnp.minimum(jax.lax.rem(tt, ncols) * WT, W - WT)
+            cs = jnp.clip(c0_ - CH, 0, W - WB)
+            return r0, ys, c0_, cs
+
+        def in_dma(slot, tt):
+            _, ys, _, cs = geom_at(tt)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(pl.multiple_of(ys, 8), RIN),
+                         pl.ds(pl.multiple_of(cs, 128), WB)],
+                xv2.at[slot], sin.at[slot])
+
+        row0, ystart, col0, cstart = geom_at(t)
+
+        def out_y(slot):
+            return pltpu.make_async_copy(
+                yv2.at[slot],
+                y_hbm.at[pl.ds(pl.multiple_of(row0, 8), R),
+                         pl.ds(pl.multiple_of(col0, 128), WT)],
+                sy.at[slot])
+
+        def out_dog(slot):
+            return pltpu.make_async_copy(
+                dogv2.at[slot],
+                dog_hbm.at[pl.ds(pl.multiple_of(row0, 8), R),
+                           pl.ds(pl.multiple_of(col0, 128), WT)],
+                sd.at[slot])
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():
+            in_dma(0, t).start()
+
+        @pl.when(t + 1 < total)
+        def _():
+            in_dma(1 - slot, t + 1).start()
+
+        in_dma(slot, t).wait()
+
+        # Drain the output DMAs issued two steps ago on this slot before
+        # overwriting its buffers (wait matches on byte count, so the
+        # reconstructed descriptor's differing address is fine).
+        @pl.when(t >= 2)
+        def _():
+            out_y(slot).wait()
+            if with_dog:
+                out_dog(slot).wait()
+
+        def run_slot(xv, yv, dogv, slot_i):
+            compute_body(xv, yv, dogv, row0, ystart, col0, cstart)
+            out_y(slot_i).start()
+            if with_dog:
+                out_dog(slot_i).start()
+
+        @pl.when(slot == 0)
+        def _():
+            run_slot(xv2.at[0], yv2.at[0], dogv2.at[0], 0)
+
+        @pl.when(slot == 1)
+        def _():
+            run_slot(xv2.at[1], yv2.at[1], dogv2.at[1], 1)
+
+        # Final step: drain everything still in flight.
+        @pl.when(t == total - 1)
+        def _():
+            out_y(slot).wait()
+            if with_dog:
+                out_dog(slot).wait()
+
+            @pl.when(t >= 1)
+            def _():
+                out_y(1 - slot).wait()
+                if with_dog:
+                    out_dog(1 - slot).wait()
+
+        return
+
+    def compute_body(xv, yv, dogv, row0, ystart, col0, cstart):
         x = xv[...]                                   # (RIN, WB) f32
 
         rev = _rev128()
@@ -186,20 +268,8 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
                 a = pltpu.roll(a, jnp.mod(WB - d0, WB), 1)[:, :WT]
             return a
         yv[...] = center(accv)
-        cout = pltpu.make_async_copy(
-            yv, y_hbm.at[pl.ds(pl.multiple_of(row0, 8), R),
-                         pl.ds(pl.multiple_of(col0, 128), WT)],
-            sems.at[1])
-        cout.start()
         if with_dog:
             dogv[...] = yv[...] - center(x)
-            cdog = pltpu.make_async_copy(
-                dogv, dog_hbm.at[pl.ds(pl.multiple_of(row0, 8), R),
-                                 pl.ds(pl.multiple_of(col0, 128), WT)],
-                sems.at[2])
-            cdog.start()
-            cdog.wait()
-        cout.wait()
 
     return kernel, RIN, WB
 
@@ -230,17 +300,19 @@ def blur_dog_tpu(x: jax.Array, taps: Tuple[float, ...],
 
     out = pl.pallas_call(
         kernel if with_dog else
-        (lambda x_hbm, y_hbm, xv, yv, dogv, sems:
-         kernel(x_hbm, y_hbm, None, xv, yv, dogv, sems)),
+        (lambda x_hbm, y_hbm, xv2, yv2, dogv2, sin, sy, sd:
+         kernel(x_hbm, y_hbm, None, xv2, yv2, dogv2, sin, sy, sd)),
         grid=(pl.cdiv(H, R), pl.cdiv(W, WT)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(shapes),
         out_shape=shapes,
         scratch_shapes=[
-            pltpu.VMEM((RIN, WB), jnp.float32),
-            pltpu.VMEM((R, WT), jnp.float32),
-            pltpu.VMEM((R, WT), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, RIN, WB), jnp.float32),
+            pltpu.VMEM((2, R, WT), jnp.float32),
+            pltpu.VMEM((2, R, WT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(x)
     if with_dog:

@@ -33,12 +33,15 @@ VKSIFT_ORI_SPLIT=0 step stagebench_1536_nosplit \
 VKSIFT_BLUR_KERNEL=1 step stagebench_1536_blurk \
   python scripts/stagebench.py 1536x1024 10
 
-# Frontend kernel isolated: double-buffer vs serial (same static-slot body)
+# Frontend kernel isolated: double-buffer vs serial (same static-slot
+# body) and 32-row blocks
 step frontbench_db1 python scripts/frontbench.py 6912x4608 4
 VKSIFT_FRONTEND_DB=0 step frontbench_db0 \
   python scripts/frontbench.py 6912x4608 4
+VKSIFT_FRONTEND_BR=32 step frontbench_br32 \
+  python scripts/frontbench.py 6912x4608 4
 
 # Gather formulation verification (one27 arms vs flat9/view27)
-step gatherbench2 python scripts/gatherbench2.py
+step gatherbench2 python scripts/gatherbench2.py 32768 8
 
 echo "== chain done $(date +%H:%M:%S)" | tee -a "$OUT/chain.log"

@@ -49,7 +49,9 @@ if _ABLATE:
         "# frontend kernel will emit DEGENERATE walk codes (triage-only\n"
         "# mode; keypoints will be WRONG). Unset it for any real run.\n"
         + "#" * 72, file=_sys.stderr, flush=True)
-_BR = 16          # rows per grid step
+# Rows per grid step (env-overridable for hardware A/B: larger blocks
+# amortize per-step grid/output-pipeline overhead against VMEM headroom).
+_BR = int(_os.environ.get("VKSIFT_FRONTEND_BR", "16"))
 _MAX_SINGLE_W = 4096  # beyond this, column-tile (VMEM budget)
 _CW = 2048        # interior columns per tile when tiled
 

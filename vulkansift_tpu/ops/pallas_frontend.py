@@ -57,7 +57,8 @@ _CW = 2048        # interior columns per tile when tiled
 
 
 def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
-                       dog_threshold: float, cw: int, halo: int):
+                       dog_threshold: float, cw: int, halo: int,
+                       wdma: int = 0):
     """cw = interior columns per tile; halo = extra columns DMA'd on each
     side (0 for the single-tile case, 128 when column-tiled — wide images
     would otherwise blow VMEM with ~30 live (BR, W) intermediates).
@@ -83,7 +84,10 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
             ncols = pl.num_programs(1)
             t = step * ncols + col  # last grid dim varies fastest
             total = pl.num_programs(0) * ncols
-            c0 = col * cw  # into the halo-padded input
+            band0 = col * cw            # this tile's first interior col
+            # DMA start, clamped into the UNPADDED stack (the old
+            # halo-pad was a whole-stack copy: 2.2 ms at 3456x2304).
+            cs = jnp.clip(band0 - halo, 0, wdma - wt)
         else:
             step = pl.program_id(0)
             col = None
@@ -95,7 +99,8 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
         def get_dma(slot, tt):
             # Halo block for linear step tt: rows [y0', y0' + _BR + 8).
             if halo:
-                c0t = jax.lax.rem(tt, ncols) * cw
+                c0t = jnp.clip(jax.lax.rem(tt, ncols) * cw - halo,
+                               0, wdma - wt)
                 y0t = (tt // ncols) * _BR
             else:
                 c0t = 0
@@ -141,11 +146,11 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
             jj = jax.lax.broadcasted_iota(jnp.int32, (_BR, wt), 1)
             ii = jax.lax.broadcasted_iota(jnp.int32, (_BR, wt), 0)
             if halo:
-                # Global x of lane jj is c0 + jj - halo; the tile's
-                # interior band is jj in [halo, halo + cw).
-                gx = c0 + jj - halo
+                # Global x of lane jj is cs + jj; the tile's interior
+                # band is gx in [band0, band0 + cw).
+                gx = cs + jj
                 interior_x = ((gx >= 1) & (gx <= w_true - 2)
-                              & (jj >= halo) & (jj < halo + cw))
+                              & (gx >= band0) & (gx < band0 + cw))
             else:
                 interior_x = (jj >= 1) & (jj <= w_true - 2)
             interior_y = (y0 + 1 + ii) <= h - 2
@@ -227,8 +232,15 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
                             + _CODE_SING * singular.astype(jnp.int32)
                             + _CODE_CAND * cand.astype(jnp.int32))
                 if halo:
-                    code = code[:, halo:halo + cw]
-                    cand = cand[:, halo:halo + cw]
+                    # Tile interior starts at lane band0 - cs (0, 128 or
+                    # 256 at the clamped edges): traced roll + static
+                    # slice (Mosaic has no dynamic_slice on values). The
+                    # candidate bit rides the rolled code (walk+flag
+                    # codes max out at 107 < _CODE_CAND) — bool-vector
+                    # rolls are Mosaic-hostile.
+                    off = jnp.mod(-(band0 - cs), wt)
+                    code = pltpu.roll(code, off, 1)[:, :cw]
+                    cand = code >= _CODE_CAND
                 cw_eff = cw if halo else w
                 codes.append(code.astype(jnp.uint8).reshape(1, _BR, cw_eff))
                 # Per-128-lane-block candidate counts via one tiny MXU
@@ -398,6 +410,7 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
         # a 2.2 ms/frame pad, round-5 trace) while 3x2304 = 6912 is
         # exact.
         halo = 128
+        wdma = -(-w_true // 128) * 128
         lo = max(128, (col_tile * 3 // 4) // 128 * 128)
         best = None
         for cand_cw in range(lo, max(col_tile * 3 // 2, lo) + 1, 128):
@@ -410,13 +423,12 @@ def frontend_tpu(dog: jax.Array, *, dog_threshold: float, capacity: int,
         ncols = -(-w_true // cw)
         wp = ncols * cw
         if fs == 0:
-            d = jnp.pad(d, ((0, 0), (0, hr + 8 - h),
-                            (halo, wp + halo - w_true)))
+            d = jnp.pad(d, ((0, 0), (0, hr + 8 - h), (0, wdma - w_true)))
             fs = nsteps
-        else:
-            d = jnp.pad(d, ((0, 0), (0, 0), (halo, wp + halo - w_true)))
+        elif wdma > w_true:
+            d = jnp.pad(d, ((0, 0), (0, 0), (0, wdma - w_true)))
         kernel = _make_front_kernel(ns, h, w_true, wp, dog_threshold,
-                                    cw=cw, halo=halo)
+                                    cw=cw, halo=halo, wdma=wdma)
         cblk = cw // 128
         code, counts_p = pl.pallas_call(
             kernel,

@@ -44,4 +44,8 @@ VKSIFT_FRONTEND_BR=32 step frontbench_br32 \
 # Gather formulation verification (one27 arms vs flat9/view27)
 step gatherbench2 python scripts/gatherbench2.py 32768 8
 
+# Fresh per-op traces at HEAD for the next iteration
+step tracebench_1536 python scripts/tracebench.py 1536x1024
+step tracebench_3456 python scripts/tracebench.py 3456x2304
+
 echo "== chain done $(date +%H:%M:%S)" | tee -a "$OUT/chain.log"

@@ -42,7 +42,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_R = 64            # output rows per grid step
+_R = 48            # output rows per grid step (64 with the 2x static-slot
+                   # body instantiation overflowed the 16 MB scoped-VMEM
+                   # limit by 736 KB on v5e, results/hw_r5c)
 _K8 = 16           # 8-aligned row halo; max half-kernel is 13 (gaussian.py)
 _RIN_MIN = 96      # minimum rows for the kernel path (= _R + 2*_K8)
 _MAX_SINGLE_W = 1280   # single col-tile limit (VMEM stack, margin to 1536)
@@ -114,6 +116,23 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
                            pl.ds(pl.multiple_of(col0, 128), WT)],
                 sd.at[slot])
 
+        def run_slot(xv, yv, dogv, slot_i):
+            compute_body(xv, yv, dogv, row0, ystart, col0, cstart)
+            out_y(slot_i).start()
+            if with_dog:
+                out_dog(slot_i).start()
+
+        import os as _os
+        if _os.environ.get("VKSIFT_BLUR_DB", "1") == "0":
+            # Serial A/B arm: single slot, fully in-line start/wait.
+            in_dma(0, t).start()
+            in_dma(0, t).wait()
+            run_slot(xv2.at[0], yv2.at[0], dogv2.at[0], 0)
+            out_y(0).wait()
+            if with_dog:
+                out_dog(0).wait()
+            return
+
         slot = jax.lax.rem(t, 2)
 
         @pl.when(t == 0)
@@ -134,12 +153,6 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
             out_y(slot).wait()
             if with_dog:
                 out_dog(slot).wait()
-
-        def run_slot(xv, yv, dogv, slot_i):
-            compute_body(xv, yv, dogv, row0, ystart, col0, cstart)
-            out_y(slot_i).start()
-            if with_dog:
-                out_dog(slot_i).start()
 
         @pl.when(slot == 0)
         def _():

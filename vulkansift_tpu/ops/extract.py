@@ -322,47 +322,46 @@ def _gather_flat(flat: jax.Array, idx: jax.Array) -> jax.Array:
 
 def _gather_neighborhood(flat: jax.Array, base: jax.Array, stride_layer,
                          stride_row) -> dict:
-    """27-point (3x3x3) neighborhoods around flat indices ``base``, as ONE
-    (27, k) element gather. Hardware (v5e): element gathers lower to the
-    fast 1-D gather path (vmapped dynamic slices are ~20x slower,
-    results/hw_r5a/gatherbench.log), but EACH gather op pays a cost that
-    scales with the SOURCE size — 27 separate gathers from a 637 MB
-    octave-0 stack cost 13-14 ms (results/hw_r5a/gatherbench2.log),
-    consistent with one streaming pass over the source per gather op.
-    Folding all 27 offsets into a single gather pays that pass once.
-    Callers guarantee base points at interior cells; the clip only
-    protects dummy slots."""
+    """27-point (3x3x3) neighborhoods around flat indices ``base``, as 27
+    single-element (k,) gathers. Hardware (v5e): element gathers lower
+    to the fast 1-D gather path (vmapped dynamic slices are ~20x slower,
+    results/hw_r5a/gatherbench.log). A single folded (27, k) gather was
+    measured-and-REJECTED in-pipeline: refine +8.81 vs +6.53 ms at
+    1536x1024 (results/hw_r5c/stagebench_1536_default.log vs r5b) — the
+    2-D index array drops off the fast path, and the isolated
+    giant-source regime where folding won (gatherbench2) does not occur
+    in the per-octave bucketed refine. Callers guarantee base points at
+    interior cells; the clip only protects dummy slots."""
     n = flat.shape[0]
-    offs = [(a, b, c) for a in (0, 1, 2) for b in (0, 1, 2)
-            for c in (0, 1, 2)]
-    idx = jnp.stack([
-        jnp.clip(base + (a - 1) * stride_layer + (b - 1) * stride_row
-                 + (c - 1), 0, n - 1)
-        for (a, b, c) in offs])                       # (27, k)
-    vals = flat[idx]                                  # ONE gather
-    return {o: vals[i] for i, o in enumerate(offs)}
+    nb = {}
+    for a in (0, 1, 2):
+        for b in (0, 1, 2):
+            row0 = base + (a - 1) * stride_layer + (b - 1) * stride_row
+            for c in (0, 1, 2):
+                idx = jnp.clip(row0 + c - 1, 0, n - 1)
+                nb[(a, b, c)] = flat[idx]
+    return nb
 
 
 def _gather_neighborhood_2d(d2: jax.Array, base_row: jax.Array,
                             layer_rows: int, col: jax.Array) -> dict:
     """27-point neighborhoods from a 2-D ``(S*H, W)`` view of the DoG
-    stack — ONE (27, k) two-coordinate gather on the 2-D view (see
-    :func:`_gather_neighborhood` for why a single gather op: each gather
-    pays a source-size-scaled streaming cost). The (S, H, W) ->
-    (S*H, W) reshape is a layout-preserving bitcast when H is a multiple
-    of the 8-row tile, while a 1-D flatten relayouts the whole stack
-    (1.9 ms at 3456x2304 octave 0, round-5 trace). ``base_row = s*H +
-    y``; ``layer_rows = H``."""
+    stack — 27 element gathers (see :func:`_gather_neighborhood` for the
+    measured-and-rejected folded single-gather alternative). The
+    (S, H, W) -> (S*H, W) reshape is a layout-preserving bitcast when H
+    is a multiple of the 8-row tile, while a 1-D flatten relayouts the
+    whole stack (1.9 ms at 3456x2304 octave 0, round-5 trace).
+    ``base_row = s*H + y``; ``layer_rows = H``."""
     nr, w = d2.shape
-    offs = [(a, b, c) for a in (0, 1, 2) for b in (0, 1, 2)
-            for c in (0, 1, 2)]
-    rows = jnp.stack([
-        jnp.clip(base_row + (a - 1) * layer_rows + (b - 1), 0, nr - 1)
-        for (a, b, c) in offs])                       # (27, k)
-    cols = jnp.stack([
-        jnp.clip(col + c - 1, 0, w - 1) for (a, b, c) in offs])
-    vals = d2[rows, cols]                             # ONE gather
-    return {o: vals[i] for i, o in enumerate(offs)}
+    nb = {}
+    for a in (0, 1, 2):
+        for b in (0, 1, 2):
+            r = jnp.clip(base_row + (a - 1) * layer_rows + (b - 1),
+                         0, nr - 1)
+            for c in (0, 1, 2):
+                cc = jnp.clip(col + c - 1, 0, w - 1)
+                nb[(a, b, c)] = d2[r, cc]
+    return nb
 
 
 @functools.partial(jax.jit, static_argnames=(

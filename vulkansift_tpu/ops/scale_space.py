@@ -327,8 +327,13 @@ def build_pyramid(
     # in-place stack write. The previous jnp.stack(...) formulation
     # materialized every layer standalone AND re-copied it into the stack
     # (~10 ms/frame of pure copies at 3456x2304, round-5 trace).
+    # Default = stacked standalone layers: the round-4 in-place DUS
+    # formulation measured WORSE on hardware once cleanly A/B'd (full
+    # detect 139.1 vs 122.1 ms at 3456x2304, pyramid 2.25 vs 2.09 at
+    # 1536x1024 — results/hw_r5c/stagebench_3456_noinplace.log vs
+    # _default.log, hw_r4d). VKSIFT_PYR_INPLACE=1 re-enables it.
     import os as _os2
-    inplace = _os2.environ.get("VKSIFT_PYR_INPLACE", "1") != "0"
+    inplace = _os2.environ.get("VKSIFT_PYR_INPLACE", "0") == "1"
     for o, (h, w) in enumerate(octave_shapes):
         if o > 0:
             base = downsample2x_nearest(base_top, h, w)

@@ -953,8 +953,37 @@ def _bucket_sizes(total: int, lo: int = 4096):
     return sizes
 
 
+def atlas_plan(config: SiftConfig, oct_res):
+    """Static atlas geometry: (band_off tuple, h_atlas, w_atlas).
+
+    Octave gaussian bands stack vertically, 8-row aligned; the atlas is
+    wide/tall enough that every kernel window DMA (two 128-lane tiles,
+    up to the largest window row count) stays in bounds."""
+    s = config.nb_scales_per_octave
+    max_wc = 256
+    assert max(desc_bucket_edges(config)) <= 129, (
+        "descriptor window edge exceeds the two-lane-tile DMA window")
+    w_atlas = _round_up(max(max_wc, max(ow for ow, _ in oct_res)), 128)
+    band_off = []
+    rows = 0
+    for ow, oh in oct_res:
+        band_off.append(rows)
+        rows += _round_up(oh, 8)
+    max_wr = max(
+        _window_rows(ori_window_edge(_sigma_max(config, s + 1))),
+        max(kernel_window_rows(config)))
+    h_atlas = _round_up(max(rows, max_wr), 8)
+    # Address-word field widths (pack_addr): ys/8 has 11 bits, ax/128
+    # has 7. Largest supported pyramid (Hannover 3456x2304 upsampled:
+    # ~9200 atlas rows, 6912 cols) fits comfortably.
+    assert h_atlas <= 2048 * 8 and w_atlas <= 127 * 128, (
+        "atlas exceeds the DMA address-word field widths")
+    return tuple(band_off), h_atlas, w_atlas
+
+
 def run_atlas(gaussians, refined_list, rank_select_fn, *,
-              config: SiftConfig, oct_res, caps, capacity: int):
+              config: SiftConfig, oct_res, caps, capacity: int,
+              atlas=None):
     """Back half for ALL octaves: one histogram kernel + two descriptor
     kernels (small/large sigma) over a whole-pyramid atlas.
 
@@ -962,6 +991,13 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
     layer); keypoints from every octave run through dynamic-grid kernels
     whose step counts equal the live counts. Window reads may spill into
     neighboring octave bands — per-keypoint band bounds mask them out.
+
+    ``atlas``: pass a pre-built (nb_layers, h_atlas, w_atlas) f32 atlas
+    (scale_space.build_pyramid(atlas_bands=...)) to skip the band
+    pack — the stack+concat here re-materialized the whole gaussian
+    pyramid (~15 ms/frame at 3456x2304, round-5 trace) when the blur
+    could instead write atlas bands directly. ``gaussians`` may then be
+    None.
 
     Returns (fields dict at ``capacity``, count, per_octave_counts i32[O],
     lost i32[]).
@@ -974,41 +1010,22 @@ def run_atlas(gaussians, refined_list, rank_select_fn, *,
 
     # --- build the atlas: octave bands stacked vertically ---------------
     with jax.named_scope("AtlasBuild"):
-        # Every window DMA is two lane tiles (256) wide from the single
-        # atlas at a 128-aligned start; kernels roll content into place.
-        # The width must hold one full DMA window — otherwise small-image
-        # window DMAs read OOB.
-        max_wc = 256
-        assert max(desc_bucket_edges(config)) <= 129, (
-            "descriptor window edge exceeds the two-lane-tile DMA window")
-        w_atlas = _round_up(max(max_wc, max(ow for ow, _ in oct_res)), 128)
-        band_off = []
-        rows = 0
-        for ow, oh in oct_res:
-            band_off.append(rows)
-            rows += _round_up(oh, 8)
-        # The atlas must hold at least one full window of the largest
-        # kernel so the per-kernel clamp in addr_for keeps every DMA in
-        # bounds (window reads spilling past the bottom would be
-        # unspecified OOB HBM reads).
-        max_wr = max(
-            _window_rows(ori_window_edge(_sigma_max(config, s + 1))),
-            max(kernel_window_rows(config)))
-        h_atlas = _round_up(max(rows, max_wr), 8)
-        # Address-word field widths (pack_addr): ys/8 has 11 bits, ax/128
-        # has 7. Largest supported pyramid (Hannover 3456x2304 upsampled:
-        # ~9200 atlas rows, 6912 cols) fits comfortably.
-        assert h_atlas <= 2048 * 8 and w_atlas <= 127 * 128, (
-            "atlas exceeds the DMA address-word field widths")
-        bands = []
-        for o, (ow, oh) in enumerate(oct_res):
-            g = gaussians[o][:nb_layers].astype(jnp.float32)
-            bands.append(jnp.pad(g, ((0, 0), (0, _round_up(oh, 8) - oh),
-                                     (0, w_atlas - ow))))
-        atlas = jnp.concatenate(bands, axis=1)
-        if atlas.shape[1] != h_atlas:
-            atlas = jnp.pad(atlas, ((0, 0), (0, h_atlas - atlas.shape[1]),
-                                    (0, 0)))
+        band_off, h_atlas, w_atlas = atlas_plan(config, oct_res)
+        if atlas is None:
+            bands = []
+            for o, (ow, oh) in enumerate(oct_res):
+                g = gaussians[o][:nb_layers].astype(jnp.float32)
+                bands.append(jnp.pad(g, ((0, 0),
+                                         (0, _round_up(oh, 8) - oh),
+                                         (0, w_atlas - ow))))
+            atlas = jnp.concatenate(bands, axis=1)
+            if atlas.shape[1] != h_atlas:
+                atlas = jnp.pad(atlas, ((0, 0),
+                                        (0, h_atlas - atlas.shape[1]),
+                                        (0, 0)))
+        else:
+            assert atlas.shape == (nb_layers, h_atlas, w_atlas), (
+                atlas.shape, (nb_layers, h_atlas, w_atlas))
 
     # --- global keypoint arrays (concat over octaves) --------------------
     def cat(field):

@@ -257,6 +257,7 @@ def build_pyramid(
     image: jax.Array,
     config: SiftConfig,
     octave_shapes: Sequence[Tuple[int, int]],
+    atlas_bands=None,
 ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
     """Construct the full gaussian + DoG pyramids.
 
@@ -269,6 +270,16 @@ def build_pyramid(
       (gaussians, dogs): tuples over octaves; gaussians[o] has shape
       (nb_scales+3, H_o, W_o), dogs[o] has (nb_scales+2, H_o, W_o); dtype per
       config.pyramid_precision.
+
+      With ``atlas_bands=(band_off, h_atlas, w_atlas)`` (see
+      pallas_backhalf.atlas_plan) the first element is instead ONE
+      (nb_scales+2, h_atlas, w_atlas) f32 ATLAS: each gaussian layer is
+      written straight into its octave band, so the blur output fuses
+      into the atlas write and the per-octave gaussian stacks are never
+      materialized (they cost ~7 ms of stack copies + ~15 ms of atlas
+      re-copies per frame at 3456x2304, round-5 trace). fp16 pyramid
+      precision quantize-dequantizes each layer before the write (same
+      stored values the per-octave path would hand the back half).
     """
     s = config.nb_scales_per_octave
     # FLOAT16 = IEEE fp16 STORAGE (reference parity, sift_memory.c:139);
@@ -295,14 +306,17 @@ def build_pyramid(
 
     def _use_kernel(h, w):
         import os
-        # OPT-IN only: the hardware A/B (results/remeasure_r3s2,
-        # 2026-08-18, v5e) measured the fused kernel at ~4.5 ms/frame of
-        # pyramid time vs ~1.9 ms for the XLA pad/slice chain at
-        # 1536x1024 (full detect 34.1 vs 31.3 ms) — XLA's fusion of the
-        # separable blur beats the hand kernel on real silicon even
-        # though the kernel executes fewer ops. Kept behind the flag for
-        # re-evaluation on other TPU generations.
-        if os.environ.get("VKSIFT_BLUR_KERNEL") != "1":
+        # Size-gated default (round-5 v5e A/B, double-buffered kernel):
+        # at 3456x2304 the kernel pyramid is 18.85 ms vs 27.5 XLA
+        # (results/hw_r5d/stagebench_3456_blurk.log — octaves 0+1, i.e.
+        # areas >= 7.9M px, took the kernel) while at 1536x1024 the XLA
+        # pad/slice chain still wins (2.03 vs 3.71 ms, areas <= 6.3M).
+        # VKSIFT_BLUR_KERNEL=1 forces all eligible octaves, =0 forces
+        # off.
+        force = os.environ.get("VKSIFT_BLUR_KERNEL")
+        if force == "0":
+            return False
+        if force != "1" and h * w < 7_000_000:
             return False
         return is_tpu_backend() and pallas_blur.eligible(h, w, dtype)
 
@@ -316,6 +330,15 @@ def build_pyramid(
 
     gaussians: List[jax.Array] = []
     dogs: List[jax.Array] = []
+    atlas = None
+    if atlas_bands is not None:
+        band_off, h_atlas, w_atlas = atlas_bands
+        atlas = jnp.zeros((s + 2, h_atlas, w_atlas), jnp.float32)
+
+        def store(v):
+            # Storage-precision round trip (fp16 mode): the back half
+            # must read the same values the stored pyramid would hold.
+            return v.astype(dtype).astype(jnp.float32)
 
     # Octave 0 seed: (optionally upsampled) input blurred to seed sigma.
     seed = upsample2x_linear(image) if config.use_input_upsampling else image
@@ -337,7 +360,24 @@ def build_pyramid(
     for o, (h, w) in enumerate(octave_shapes):
         if o > 0:
             base = downsample2x_nearest(base_top, h, w)
-        if inplace:
+        if atlas is not None:
+            # Atlas-direct: DUS each layer into its octave band (layers
+            # 0..s+1 — the top layer s+2 only feeds the last DoG).
+            dlayers = []
+            prev = base
+            atlas = jax.lax.dynamic_update_slice(
+                atlas, store(base)[None], (0, band_off[o], 0))
+            for i in range(1, s + 3):
+                y, dg = _blur(prev, kernels[i], with_dog=True)
+                dlayers.append(dg)
+                prev = y
+                if i == s:
+                    base_top = y
+                if i <= s + 1:
+                    atlas = jax.lax.dynamic_update_slice(
+                        atlas, store(y)[None], (i, band_off[o], 0))
+            ds = jnp.stack(dlayers)
+        elif inplace:
             gs = jnp.zeros((s + 3, h, w), jnp.float32)
             ds = jnp.zeros((s + 2, h, w), jnp.float32)
             gs = jax.lax.dynamic_update_slice(gs, base[None], (0, 0, 0))
@@ -370,9 +410,12 @@ def build_pyramid(
                     base_top = y
             gs = jnp.stack(layers)
             ds = jnp.stack(dlayers)
-        gaussians.append(gs.astype(dtype))
+        if atlas is None:
+            gaussians.append(gs.astype(dtype))
         dogs.append(ds.astype(dtype))
 
+    if atlas is not None:
+        return atlas, tuple(dogs)
     return tuple(gaussians), tuple(dogs)
 
 

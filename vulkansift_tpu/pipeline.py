@@ -197,7 +197,21 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
         # device traces attribute time to pipeline stages.
         with jax.named_scope("ScaleSpace"):
             img = image_u8.astype(jnp.float32) * (1.0 / 255.0)
-            gaussians, dogs = scale_space.build_pyramid(img, cfg, oct_shapes)
+            # Pallas fast path: blur layers write STRAIGHT into the
+            # back half's atlas bands (per-octave gaussian stacks are
+            # never materialized — they cost ~22 ms/frame of stack +
+            # atlas re-copies at 3456x2304, round-5 trace). The debug
+            # path (return_pyramid) keeps per-octave stacks.
+            atlas = None
+            if backhalf == "pallas" and not return_pyramid:
+                plan = (pallas_backhalf.atlas_plan(cfg, oct_res)
+                        if len(oct_res) else None)
+                atlas, dogs = scale_space.build_pyramid(
+                    img, cfg, oct_shapes, atlas_bands=plan)
+                gaussians = None
+            else:
+                gaussians, dogs = scale_space.build_pyramid(
+                    img, cfg, oct_shapes)
 
         with jax.named_scope("ExtractKeypoints"):
             cands = []
@@ -277,7 +291,8 @@ def make_detect_fn(config: SiftConfig, width: int, height: int,
             # 3 sigma-bucket descriptor kernels).
             fields, count, per_octave, lost = pallas_backhalf.run_atlas(
                 gaussians, refined_list, extract.rank_select,
-                config=cfg, oct_res=oct_res, caps=caps, capacity=capacity)
+                config=cfg, oct_res=oct_res, caps=caps, capacity=capacity,
+                atlas=atlas)
             feats = Features(count=count, **fields)
             out = DetectOutput(features=feats, lost=lost,
                                per_octave_counts=per_octave)

@@ -417,19 +417,17 @@ def refine_candidates(dog: jax.Array, cand: Candidates, *, nb_scales: int,
         done = jnp.where(act2 & conv, True, done)
         may_move = act2 & jnp.logical_not(conv) & (
             step_i < NB_REFINEMENT_STEPS - 1)
+        mm = may_move.astype(jnp.int32)
         ms = c % 3 - 1
         mx = (c // 3) % 3 - 1
         my = (c // 9) % 3 - 1
-        # Clamped integer moves (ExtractKeypoints.comp:183-188).
-        mx = jnp.where((mx > 0) & (rx < width - 2), mx,
-                       jnp.where((mx < 0) & (rx > 1), mx, 0))
-        my = jnp.where((my > 0) & (ry < height - 2), my,
-                       jnp.where((my < 0) & (ry > 1), my, 0))
-        ms = jnp.where((ms > 0) & (rs < nb_scales), ms,
-                       jnp.where((ms < 0) & (rs > 1), ms, 0))
-        rx = jnp.where(may_move, rx + mx, rx)
-        ry = jnp.where(may_move, ry + my, ry)
-        rs = jnp.where(may_move, rs + ms, rs)
+        # Clamped integer moves (ExtractKeypoints.comp:183-188): with
+        # |m| <= 1 and positions already interior, "refuse the move if it
+        # leaves the interior" == clip(pos + m) to the interior — fewer
+        # ops on the latency-bound (k,) walk chains.
+        rx = jnp.clip(rx + mx * mm, 1, width - 2)
+        ry = jnp.clip(ry + my * mm, 1, height - 2)
+        rs = jnp.clip(rs + ms * mm, 1, nb_scales)
         return (rs, ry, rx, valid, done), None
 
     k = cand.s.shape[0]
@@ -628,18 +626,14 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
         done = jnp.where(act2 & conv, True, done)
         may_move = act2 & jnp.logical_not(conv) & (
             step_i < NB_REFINEMENT_STEPS - 1)
+        mm = may_move.astype(jnp.int32)
         ms = c % 3 - 1
         mx = (c // 3) % 3 - 1
         my = (c // 9) % 3 - 1
-        mx = jnp.where((mx > 0) & (rx < g_w - 2), mx,
-                       jnp.where((mx < 0) & (rx > 1), mx, 0))
-        my = jnp.where((my > 0) & (ry < g_h - 2), my,
-                       jnp.where((my < 0) & (ry > 1), my, 0))
-        ms = jnp.where((ms > 0) & (rs < nb_scales), ms,
-                       jnp.where((ms < 0) & (rs > 1), ms, 0))
-        rx = jnp.where(may_move, rx + mx, rx)
-        ry = jnp.where(may_move, ry + my, ry)
-        rs = jnp.where(may_move, rs + ms, rs)
+        # Clamped integer moves as clips (see refine_candidates.step).
+        rx = jnp.clip(rx + mx * mm, 1, g_w - 2)
+        ry = jnp.clip(ry + my * mm, 1, g_h - 2)
+        rs = jnp.clip(rs + ms * mm, 1, nb_scales)
         return (rs, ry, rx, valid, done), None
 
     # Step 0 skips its code gather when every octave's frontend provided

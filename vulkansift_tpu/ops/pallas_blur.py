@@ -42,9 +42,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_R = 48            # output rows per grid step (64 with the 2x static-slot
-                   # body instantiation overflowed the 16 MB scoped-VMEM
-                   # limit by 736 KB on v5e, results/hw_r5c)
+import os as _os
+# Output rows per grid step, env-tunable for hardware A/B: per-grid-step
+# fixed overhead (~7 us measured at 3456x2304 octave 0) dominates the
+# kernel, so fewer/bigger steps win as long as the remote compiler's
+# 16 MB scoped-VMEM limit holds (the local deviceless compiler's
+# accounting is looser — validate R bumps on hardware).
+_R = int(_os.environ.get("VKSIFT_BLUR_R", "48"))
 _K8 = 16           # 8-aligned row halo; max half-kernel is 13 (gaussian.py)
 _RIN_MIN = 96      # minimum rows for the kernel path (= _R + 2*_K8)
 _MAX_SINGLE_W = 1280   # single col-tile limit (VMEM stack, margin to 1536)
@@ -154,13 +158,12 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
             if with_dog:
                 out_dog(slot).wait()
 
-        @pl.when(slot == 0)
-        def _():
-            run_slot(xv2.at[0], yv2.at[0], dogv2.at[0], 0)
-
-        @pl.when(slot == 1)
-        def _():
-            run_slot(xv2.at[1], yv2.at[1], dogv2.at[1], 1)
+        # ONE body instance: the block is read out of the alternating
+        # slot as a value (a dynamic leading-index slice — measured
+        # indistinguishable from the static-slot pl.when duplication on
+        # v5e, results/hw_r5b vs r5c, while the duplication DOUBLED the
+        # body's scoped-VMEM live set and forced R down).
+        run_slot(xv2.at[slot], yv2.at[slot], dogv2.at[slot], slot)
 
         # Final step: drain everything still in flight.
         @pl.when(t == total - 1)

@@ -130,11 +130,13 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
             get_dma(slot, t).wait()
 
         def body(bref):
-            # The whole compute body is instantiated once per STATIC slot
-            # (under pl.when below): reading the scratch with a traced
-            # slot index (`blk2[slot, ...]`) defeated Mosaic's view
-            # lowering of the 45 slab reads and measured +13 ms at
-            # 6912x4608 (results/hw_r5b/stagebench_3456_novblur.log).
+            # ONE body instance reading the alternating slot via a
+            # dynamic leading index: the static-slot pl.when duplication
+            # measured identically on hardware (r5b arm3 vs r5c default
+            # — the +13 ms both carried was the in-place-pyramid
+            # interaction, not the slot read) while DOUBLING the body's
+            # scoped-VMEM live set (BR=32 OOM'd at 25 MB, hw_r5c
+            # frontbench_br32).
 
             # Lane-shifted variants per layer (x-1, x, x+1).
             def lat(l, dy, dx):
@@ -268,13 +270,7 @@ def _make_front_kernel(ns: int, h: int, w_true: int, w: int,
                     cb_all, ((0, 0), (0, 0), (0, 128 - cb_all.shape[2])))
             counts_ref[:] = cb_all
 
-        @pl.when(slot == 0)
-        def _():
-            body(blk2.at[0])
-
-        @pl.when(slot == 1)
-        def _():
-            body(blk2.at[1])
+        body(blk2.at[slot])
 
     return kernel
 

@@ -232,9 +232,13 @@ def downsample2x_nearest(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
 
     TPU note: a stride-2 slice along the minor (lane) axis is a very
     expensive relayout (~17 ms at 3072x2048); selecting the odd columns
-    with a one-hot matmul instead rides the MXU (~6x faster). The bf16x3
-    matmul decomposition reproduces f32 values to <=1 ulp, far below the
-    pyramid test tolerances; rows use a plain (cheap) sublane stride.
+    with a one-hot matmul instead rides the MXU (~6x faster). Default
+    (bf16x3) precision is EXACT here — each selector column has a single
+    unit entry, and the bf16x3 operand split reconstructs f32 values
+    exactly under multiply-by-one (same argument as the upsample
+    interleave; the former HIGHEST-precision form cost 3.7 ms/frame at
+    3456x2304, ~3x the default-precision MXU rate). Rows use a plain
+    (cheap) sublane stride.
     """
     rows = img[..., 1::2, :][..., :out_h, :]
     w = img.shape[-1]
@@ -244,8 +248,7 @@ def downsample2x_nearest(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
         return jax.lax.dot_general(
             rows.astype(jnp.float32), sel.astype(jnp.float32),
             (((rows.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).astype(img.dtype)
+            preferred_element_type=jnp.float32).astype(img.dtype)
     return rows[..., 1::2][..., :out_w]
 
 

@@ -52,8 +52,11 @@ _R = int(_os.environ.get("VKSIFT_BLUR_R", "48"))
 _K8 = 16           # 8-aligned row halo; max half-kernel is 13 (gaussian.py)
 _RIN_MIN = 96      # minimum rows for the kernel path (= _R + 2*_K8)
 _MAX_SINGLE_W = 1280   # single col-tile limit (VMEM stack, margin to 1536)
-_WT = 1024         # interior cols per tile when column-tiled (block 1280
-                   # lanes = the validated single-tile VMEM budget)
+# Interior cols per tile when column-tiled. Wider tiles cut the DMA
+# row-segment count (the binding constraint: strided block copies cost
+# ~50 ns/row-segment on v5e — 54k segments/layer at WT=1024 explains
+# the measured 2-5 ms/layer vs the ~0.5 ms HBM roofline).
+_WT = int(_os.environ.get("VKSIFT_BLUR_WT", "1024"))
 _CHALO = 128       # col halo (>= max half-kernel, 128-aligned)
 
 

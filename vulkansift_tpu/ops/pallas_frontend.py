@@ -53,7 +53,9 @@ if _ABLATE:
 # amortize per-step grid/output-pipeline overhead against VMEM headroom).
 _BR = int(_os.environ.get("VKSIFT_FRONTEND_BR", "16"))
 _MAX_SINGLE_W = 4096  # beyond this, column-tile (VMEM budget)
-_CW = 2048        # interior columns per tile when tiled
+# Interior columns per tile when tiled (env-tunable: wider tiles cut the
+# per-step DMA row-segment count, the kernel's binding constraint).
+_CW = int(_os.environ.get("VKSIFT_FRONTEND_CT", "2048"))
 
 
 def _make_front_kernel(ns: int, h: int, w_true: int, w: int,

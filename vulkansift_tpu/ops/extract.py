@@ -554,21 +554,39 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
     """
     nb_oct = len(oct_res)
 
-    # --- flatten + concat the code fields and DoGs -----------------------
+    # --- row-concat the code fields and DoGs (2-D views) ----------------
+    # The former 1-D ``reshape(-1)`` flattens were full relayouts of
+    # every octave volume (~1.9 ms per big octave, round-5 trace; the
+    # 1536x1024 force-global arm measured +13 ms over the hybrid,
+    # results/hw_r5c/stagebench_1536_globalref.log). Lane-padding each
+    # octave to the widest width and concatenating the (S*H, W) 2-D
+    # views preserves layout (the reshape is a bitcast for 8-aligned
+    # row counts; the pads only copy the narrower octaves).
     # Barrier: keep XLA from fusing the dense code computation into the
-    # walk's while body (it would recompute the field every scan step).
-    code_flat = jax.lax.optimization_barrier(
-        jnp.concatenate([c.reshape(-1) for c in codes]))
-    dog_flat = jnp.concatenate([d.astype(jnp.float32).reshape(-1)
-                                for d in dogs])
-    code_off = []
-    dog_off = []
-    co = do = 0
-    for o in range(nb_oct):
-        code_off.append(co)
-        dog_off.append(do)
-        co += int(np.prod(codes[o].shape))
-        do += dogs[o].shape[0] * dogs[o].shape[1] * dogs[o].shape[2]
+    # walk chain (it would recompute the field every step).
+    wc_code = max(c.shape[2] for c in codes)
+    code_roff = []
+    code_rows = []
+    ro = 0
+    for c in codes:
+        code_roff.append(ro)
+        cpad = jnp.pad(c, ((0, 0), (0, 0), (0, wc_code - c.shape[2])))
+        code_rows.append(cpad.reshape(c.shape[0] * c.shape[1], wc_code))
+        ro += c.shape[0] * c.shape[1]
+    code2 = jax.lax.optimization_barrier(
+        jnp.concatenate(code_rows, axis=0))
+
+    wc_dog = max(d.shape[2] for d in dogs)
+    dog_roff = []
+    dog_rows = []
+    ro = 0
+    for d in dogs:
+        dog_roff.append(ro)
+        dpad = jnp.pad(d.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, wc_dog - d.shape[2])))
+        dog_rows.append(dpad.reshape(d.shape[0] * d.shape[1], wc_dog))
+        ro += d.shape[0] * d.shape[1]
+    dog2 = jnp.concatenate(dog_rows, axis=0)
 
     # Per-octave geometry constants, materialized by segment CONCATENATION
     # (free constants), never by ``table[oct_id]`` gathers — a (31k,) 1-D
@@ -591,10 +609,9 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
     k = s0.shape[0]
 
     g_chr = seg([c.shape[1] for c in codes])
-    g_cwr = seg([c.shape[2] for c in codes])
     g_fw = seg([1 if f else 0 for f in full_width])
-    g_coff = seg(code_off)
-    g_doff = seg(dog_off)
+    g_coff = seg(code_roff)
+    g_doff = seg(dog_roff)
     g_w = seg([w for w, _ in oct_res])
     g_h = seg([h for _, h in oct_res])
     # Keep the segment tables as RUNTIME values: without the barrier XLA
@@ -605,14 +622,15 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
     # the 208 MB program at 640x480; /tmp/xdump round-5 analysis). The
     # concats themselves stay 1-D (64 KB) and the arithmetic costs ~10
     # VPU ops on K elements.
-    (g_chr, g_cwr, g_fw, g_coff, g_doff, g_w, g_h,
+    (g_chr, g_fw, g_coff, g_doff, g_w, g_h,
      oct_id) = jax.lax.optimization_barrier(
-        (g_chr, g_cwr, g_fw, g_coff, g_doff, g_w, g_h, oct_id))
+        (g_chr, g_fw, g_coff, g_doff, g_w, g_h, oct_id))
 
     def code_at(rs, ry, rx):
         rxs = jnp.where(g_fw == 1, rx, rx - 1)
-        idx = g_coff + ((rs - 1) * g_chr + (ry - 1)) * g_cwr + rxs
-        c = _gather_flat(code_flat, idx).astype(jnp.int32)
+        row = g_coff + (rs - 1) * g_chr + (ry - 1)
+        c = code2[jnp.clip(row, 0, code2.shape[0] - 1),
+                  jnp.clip(rxs, 0, wc_code - 1)].astype(jnp.int32)
         return jax.lax.rem(c, 128)
 
     def step(carry, step_i, c0=None):
@@ -647,8 +665,8 @@ def refine_candidates_global(dogs, cands, codes, *, nb_scales: int,
     rs, ry, rx, valid, _ = carry
 
     # --- final Newton solve + acceptance tests at the stop cell ----------
-    base = g_doff + (rs * g_h + ry) * g_w + rx
-    nb = _gather_neighborhood(dog_flat, base, g_h * g_w, g_w)
+    base_row = g_doff + rs * g_h + ry
+    nb = _gather_neighborhood_2d(dog2, base_row, g_h, rx)
     off_s, off_x, off_y, g_s, g_x, g_y, singular = _newton_step(
         *[nb[(a, b, c)] for a in (0, 1, 2) for b in (0, 1, 2)
           for c in (0, 1, 2)])

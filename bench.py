@@ -223,8 +223,10 @@ def main():
         # records a real number instead of nothing.
         backhalf = "auto" if state["fails"] < 2 else "xla"
         if backhalf == "xla":
-            # Opt-in Pallas extras must not survive into safe mode.
-            os.environ.pop("VKSIFT_BLUR_KERNEL", None)
+            # No Pallas path may survive into safe mode — the blur
+            # kernel is default-AUTO (on for >= 7M px octaves), so it
+            # must be forced off, not just unset.
+            os.environ["VKSIFT_BLUR_KERNEL"] = "0"
             os.environ.pop("VKSIFT_PACKED_HIST", None)
             print("# bench: falling back to backhalf='xla'",
                   file=sys.stderr)

@@ -207,7 +207,10 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
         revl = jax.lax.dot_general(                   # revl[:,p]=x[:,WB-1-p]
             last, rev, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (RIN, 128), 1)
+        # (1, 128) iota broadcast in the wheres: the full (RIN, 128)
+        # form was the 40 KB that pushed WT=1536 over the 16 MB scoped
+        # VMEM limit.
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         accl = first * taps[0]
         accr = last * taps[0]
         for j in range(1, k + 1):
@@ -229,12 +232,18 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
             xm2 = pltpu.roll(last, j, 1)
             accr = accr + (xp2 + xm2) * taps[j]
 
-        glane = (cstart
-                 + jax.lax.broadcasted_iota(jnp.int32, (RIN, WB), 1))
-        accl_w = jnp.pad(accl, ((0, 0), (0, WB - 128)))
-        accr_w = jnp.pad(accr, ((0, 0), (WB - 128, 0)))
-        xh = jnp.where(glane < k, accl_w, acc)
-        xh = jnp.where(glane >= W - k, accr_w, xh)
+        # Splice the edge strips per 128-lane TILE instead of building
+        # two full-size pads + a full-size global-lane iota (three
+        # (RIN, WB) buffers of scoped VMEM): the mirror lanes live only
+        # in the block's first/last lane tile, and only when that tile
+        # touches the image edge (cstart == 0 / cstart + WB == W,
+        # traced scalars broadcast into the tile-local wheres).
+        left_edge = (cstart == 0) & (lane128 < k)
+        right_edge = (cstart + WB == W) & (lane128 >= 128 - k)
+        repl0 = jnp.where(left_edge, accl, acc[:, :128])
+        repl1 = jnp.where(right_edge, accr, acc[:, WB - 128:])
+        mid = [acc[:, 128:WB - 128]] if WB > 256 else []
+        xh = jnp.concatenate([repl0] + mid + [repl1], axis=1)
 
         # ---------------- V pass (sublanes), mirror at 0 / H-1 ----------
         accv = xh * taps[0]

@@ -72,6 +72,9 @@ def _rev128():
     return (i + j == 127).astype(jnp.float32)
 
 
+_FORI = _os.environ.get("VKSIFT_BLUR_FORI") == "1"
+
+
 def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
                  R: int, WT: int, CH: int):
     k = len(taps) - 1
@@ -79,7 +82,8 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
     RIN = R + 2 * _K8
     WB = WT + 2 * CH          # DMA'd block width (== W when CH == 0)
 
-    def kernel(x_hbm, y_hbm, dog_hbm, xv2, yv2, dogv2, sin, sy, sd):
+    def kernel(x_hbm, taps_ref, y_hbm, dog_hbm, xv2, yv2, dogv2,
+               sin, sy, sd):
         # Double-buffered across (sequential) grid steps: the serial
         # start/wait input + end-of-step output drain left every step
         # stalled on DMA latency (the whole-kernel pyramid measured
@@ -124,7 +128,8 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
                 sd.at[slot])
 
         def run_slot(xv, yv, dogv, slot_i):
-            compute_body(xv, yv, dogv, row0, ystart, col0, cstart)
+            compute_body(xv, taps_ref, yv, dogv, row0, ystart, col0,
+                         cstart)
             out_y(slot_i).start()
             if with_dog:
                 out_dog(slot_i).start()
@@ -183,7 +188,7 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
 
         return
 
-    def compute_body(xv, yv, dogv, row0, ystart, col0, cstart):
+    def compute_body(xv, taps_ref, yv, dogv, row0, ystart, col0, cstart):
         x = xv[...]                                   # (RIN, WB) f32
 
         rev = _rev128()
@@ -194,10 +199,23 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
         # values and spliced where the GLOBAL lane is within k of an edge
         # (strips carry correct values exactly when this tile touches the
         # image edge; elsewhere the splice mask is empty).
-        acc = x * taps[0]
-        for j in range(1, k + 1):
-            acc = acc + (pltpu.roll(x, j, 1)
-                         + pltpu.roll(x, WB - j, 1)) * taps[j]
+        # Tap accumulation: optionally a fori_loop (VKSIFT_BLUR_FORI=1)
+        # — the unrolled chain's temporaries dominate the kernel's
+        # scoped-VMEM footprint (WT=1536 lands 16.04M vs the 16M limit,
+        # hw round-5), while the loop form holds ~4 live buffers and
+        # unlocks wide tiles. Bit-identical accumulation order; traced
+        # roll amounts are supported hardware lane rotates.
+        if _FORI:
+            def hstep(j, a):
+                return a + (pltpu.roll(x, j, 1)
+                            + pltpu.roll(x, WB - j, 1)) * taps_ref[j]
+
+            acc = jax.lax.fori_loop(1, k + 1, hstep, x * taps[0])
+        else:
+            acc = x * taps[0]
+            for j in range(1, k + 1):
+                acc = acc + (pltpu.roll(x, j, 1)
+                             + pltpu.roll(x, WB - j, 1)) * taps[j]
 
         first = x[:, :128]                            # (RIN, 128)
         last = x[:, WB - 128:]
@@ -246,10 +264,17 @@ def _make_kernel(H: int, W: int, taps: Tuple[float, ...], with_dog: bool,
         xh = jnp.concatenate([repl0] + mid + [repl1], axis=1)
 
         # ---------------- V pass (sublanes), mirror at 0 / H-1 ----------
-        accv = xh * taps[0]
-        for j in range(1, k + 1):
-            accv = accv + (pltpu.roll(xh, j, 0)
-                           + pltpu.roll(xh, RIN - j, 0)) * taps[j]
+        if _FORI:
+            def vstep(j, a):
+                return a + (pltpu.roll(xh, j, 0)
+                            + pltpu.roll(xh, RIN - j, 0)) * taps_ref[j]
+
+            accv = jax.lax.fori_loop(1, k + 1, vstep, xh * taps[0])
+        else:
+            accv = xh * taps[0]
+            for j in range(1, k + 1):
+                accv = accv + (pltpu.roll(xh, j, 0)
+                               + pltpu.roll(xh, RIN - j, 0)) * taps[j]
 
         # Image-edge rows: global row g = ystart + u needs the mirror when
         # g-j < 0 or g+j >= H; whenever that holds for a KEPT row, the
@@ -326,12 +351,15 @@ def blur_dog_tpu(x: jax.Array, taps: Tuple[float, ...],
     if with_dog:
         shapes.append(jax.ShapeDtypeStruct((H, W), jnp.float32))
 
+    taps_arr = jnp.asarray(list(taps), jnp.float32)
     out = pl.pallas_call(
         kernel if with_dog else
-        (lambda x_hbm, y_hbm, xv2, yv2, dogv2, sin, sy, sd:
-         kernel(x_hbm, y_hbm, None, xv2, yv2, dogv2, sin, sy, sd)),
+        (lambda x_hbm, taps_ref, y_hbm, xv2, yv2, dogv2, sin, sy, sd:
+         kernel(x_hbm, taps_ref, y_hbm, None, xv2, yv2, dogv2,
+                sin, sy, sd)),
         grid=(pl.cdiv(H, R), pl.cdiv(W, WT)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(shapes),
         out_shape=shapes,
         scratch_shapes=[
@@ -342,7 +370,7 @@ def blur_dog_tpu(x: jax.Array, taps: Tuple[float, ...],
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(x)
+    )(x, taps_arr)
     if with_dog:
         return out[0], out[1]
     return out[0], None
